@@ -47,8 +47,15 @@ def rasterize_reference(proj: ProjectedSplats,
                         colors: jnp.ndarray,
                         opacities: jnp.ndarray,
                         bg: jnp.ndarray,
-                        W: int, H: int) -> RenderOutput:
-    """Dense O(N*P) rasterization with exact reference blend semantics."""
+                        W: int, H: int,
+                        tile: int | None = None) -> RenderOutput:
+    """Dense O(N*P) rasterization with exact reference blend semantics.
+
+    If ``tile`` is given, a pixel only sees Gaussians whose 3-sigma tile
+    rectangle covers the pixel's tile — the CUDA binning visibility rule
+    (getRect, auxiliary.h:46-56). With ``tile=None`` every valid Gaussian is
+    considered everywhere (pure mathematical blend).
+    """
     n = proj.mean2d.shape[0]
     # Globally depth-sort; push invalid Gaussians to the back and mask them.
     sort_depth = jnp.where(proj.valid, proj.depth, jnp.inf)
@@ -59,19 +66,31 @@ def rasterize_reference(proj: ProjectedSplats,
     valid = proj.valid[order]
     color = colors[order]
     opac = opacities[order]
+    radius = proj.radius[order].astype(jnp.float32)
 
     px = jnp.arange(W, dtype=jnp.float32)
     py = jnp.arange(H, dtype=jnp.float32)
     pxg, pyg = jnp.meshgrid(px, py)             # [H, W]
+    if tile is not None:
+        ptx = (pxg // tile).astype(jnp.int32)   # pixel's tile coords
+        pty = (pyg // tile).astype(jnp.int32)
 
     def step(carry, splat):
         T, C, D, acc, done = carry
-        m2d, con, dep, val, col, op = splat
+        m2d, con, dep, val, col, op, rad = splat
         dx = m2d[0] - pxg
         dy = m2d[1] - pyg
         power = -0.5 * (con[0] * dx * dx + con[2] * dy * dy) - con[1] * dx * dy
         alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
         contrib = val & (power <= 0.0) & (alpha >= ALPHA_MIN) & ~done
+        if tile is not None:
+            gxn, gyn = -(-W // tile), -(-H // tile)
+            rx0 = jnp.clip(jnp.floor((m2d[0] - rad) / tile), 0, gxn)
+            ry0 = jnp.clip(jnp.floor((m2d[1] - rad) / tile), 0, gyn)
+            rx1 = jnp.clip(jnp.floor((m2d[0] + rad + tile - 1) / tile), 0, gxn)
+            ry1 = jnp.clip(jnp.floor((m2d[1] + rad + tile - 1) / tile), 0, gyn)
+            in_rect = ((ptx >= rx0) & (ptx < rx1) & (pty >= ry0) & (pty < ry1))
+            contrib = contrib & in_rect
         test_T = T * (1.0 - alpha)
         # the contributing Gaussian that would push T below T_EPS is skipped
         # AND terminates the pixel (sticky 'done', forward.cu:430-435).
@@ -92,7 +111,7 @@ def rasterize_reference(proj: ProjectedSplats,
     done0 = jnp.zeros((H, W), bool)
     (T, C, D, acc, _), _ = jax.lax.scan(
         step, (T0, C0, D0, a0, done0),
-        (mean2d, conic, depth, valid, color, opac))
+        (mean2d, conic, depth, valid, color, opac, radius))
 
     out_color = C + T[..., None] * bg
     out_depth = jnp.where(acc > ACC_GATE, D / acc, 0.0)
