@@ -131,10 +131,11 @@ class GSConfig:
     tile_size: int = 16
     max_splats_per_tile: int = 1024     # static per-tile capacity (XLA shapes)
 
-    # --- quantization step bases (gaussian_model.py:1019-1021) ---
-    q_base_feat: float = 1.0
-    q_base_scaling: float = 0.001
-    q_base_offsets: float = 0.2
+    # --- quantization step bases (gaussian_renderer/__init__.py:52-54) ---
+    q_base_feat: float = 0.25
+    q_base_scaling: float = 2.5e-4
+    q_base_offsets: float = 0.05
+    rate_subsample: float = 0.05        # gaussian_renderer/__init__.py:100
 
 
 @dataclasses.dataclass(frozen=True)

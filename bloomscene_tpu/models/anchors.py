@@ -1,0 +1,164 @@
+"""Anchor model state: capacity-padded pytrees + initialization.
+
+State layout mirrors the reference GaussianModel tensors
+(scene/gaussian_model.py:171-186, 440-479) but as an immutable pytree with a
+static capacity and an ``alive`` mask so densification never changes array
+shapes (XLA static-shape requirement; SURVEY.md section 7.3 item 2).
+
+Per-anchor state:
+- anchor [C, 3]        position (trained; 16-bit quantized on read)
+- offset [C, K, 3]     child offsets (trained)
+- mask_logit [C, K, 1] learned binary child mask (trained)
+- feat [C, F]          anchor feature (trained)
+- scaling_log [C, 6]   log-scales: [:3] offset scale, [3:] cov scale (trained)
+- rotation [C, 4]      quaternion — created but NOT trained, like the
+                       reference (:477); used only by the anchor prefilter
+- opacity_raw [C, 1]   inverse-sigmoid opacity — NOT trained (:478)
+- alive [C]            bool capacity mask (replaces dynamic cat/prune)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.knn import knn_mean_sq_dist
+from ..ops.quantization import quantize_anchor
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1.0 - x))
+
+
+class AnchorState(NamedTuple):
+    anchor: jnp.ndarray
+    offset: jnp.ndarray
+    mask_logit: jnp.ndarray
+    feat: jnp.ndarray
+    scaling_log: jnp.ndarray
+    rotation: jnp.ndarray
+    opacity_raw: jnp.ndarray
+    alive: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.anchor.shape[0]
+
+    @property
+    def n_offsets(self) -> int:
+        return self.offset.shape[1]
+
+    def num_alive(self):
+        return jnp.sum(self.alive)
+
+
+class AnchorBounds(NamedTuple):
+    """Anchor AABB for quantization/hash normalization
+    (gaussian_model.py:157-158, 401-411)."""
+    x_min: jnp.ndarray   # [1, 3]
+    x_max: jnp.ndarray   # [1, 3]
+
+    @staticmethod
+    def initial():
+        return AnchorBounds(x_min=jnp.zeros((1, 3)), x_max=jnp.ones((1, 3)))
+
+
+def update_anchor_bounds(state: AnchorState) -> AnchorBounds:
+    """AABB over alive anchors with the reference's 1.2/0.8 margin rule
+    (gaussian_model.py:401-411)."""
+    big = 1e9
+    a = jnp.where(state.alive[:, None], state.anchor, big)
+    x_min = jnp.min(a, 0, keepdims=True)
+    a = jnp.where(state.alive[:, None], state.anchor, -big)
+    x_max = jnp.max(a, 0, keepdims=True)
+    x_min = jnp.where(x_min < 0, x_min * 1.2, x_min * 0.8)
+    x_max = jnp.where(x_max > 0, x_max * 1.2, x_max * 0.8)
+    return AnchorBounds(x_min=x_min, x_max=x_max)
+
+
+def voxelize_points(points: np.ndarray, voxel_size: float,
+                    seed: int = 0) -> np.ndarray:
+    """Shuffle + round-to-voxel + unique (gaussian_model.py:435-438)."""
+    rng = np.random.default_rng(seed)
+    pts = np.array(points)
+    rng.shuffle(pts)
+    return np.unique(np.round(pts / voxel_size), axis=0) * voxel_size
+
+
+def adaptive_voxel_size(points: np.ndarray) -> float:
+    """Median 3-NN mean-square distance (gaussian_model.py:445-449)."""
+    d2 = np.asarray(knn_mean_sq_dist(jnp.asarray(points, jnp.float32)))
+    return float(np.quantile(d2, 0.5))
+
+
+def init_from_points(points: np.ndarray, *, n_offsets: int, feat_dim: int,
+                     voxel_size: float = 0.001, capacity: int | None = None,
+                     seed: int = 0) -> tuple[AnchorState, float]:
+    """create_from_pcd equivalent (gaussian_model.py:440-479).
+
+    Voxelizes the point cloud into anchors, sets offset scales from 3-NN
+    distances, zero offsets/features, all-on masks, identity rotations,
+    opacity 0.1. Pads to ``capacity`` (default: next power-of-two-ish
+    bucket) with dead anchors.
+    """
+    if voxel_size <= 0:
+        voxel_size = adaptive_voxel_size(points)
+    pts = voxelize_points(points, voxel_size, seed).astype(np.float32)
+    n = pts.shape[0]
+    if capacity is None:
+        capacity = max(64, int(2 ** np.ceil(np.log2(n * 1.5))))
+
+    d2 = np.asarray(knn_mean_sq_dist(jnp.asarray(pts)))
+    scales = np.log(np.sqrt(np.clip(d2, 1e-7, None)))[:, None].repeat(6, 1)
+
+    def pad(x, fill=0.0):
+        out = np.full((capacity,) + x.shape[1:], fill, x.dtype)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    state = AnchorState(
+        anchor=pad(pts),
+        offset=jnp.zeros((capacity, n_offsets, 3), jnp.float32),
+        mask_logit=pad(np.ones((n, n_offsets, 1), np.float32)),
+        feat=jnp.zeros((capacity, feat_dim), jnp.float32),
+        scaling_log=pad(scales.astype(np.float32)),
+        rotation=pad(np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))),
+        opacity_raw=pad(np.full((n, 1), float(inverse_sigmoid(0.1)),
+                                np.float32)),
+        alive=jnp.asarray(np.arange(capacity) < n),
+    )
+    return state, voxel_size
+
+
+# --- activated getters (gaussian_model.py:342-399) ---
+
+def get_scaling(state: AnchorState) -> jnp.ndarray:
+    return jnp.exp(state.scaling_log)
+
+
+def get_mask(state: AnchorState) -> jnp.ndarray:
+    """STE-binarized child mask in {0,1} (get_mask, :348-353):
+    forward (sigmoid > 0.01), straight-through sigmoid gradient."""
+    sig = jax.nn.sigmoid(state.mask_logit)
+    hard = (sig > 0.01).astype(jnp.float32)
+    return sig + jax.lax.stop_gradient(hard - sig)
+
+
+def get_mask_anchor(state: AnchorState) -> jnp.ndarray:
+    """[C] float: anchor alive if any child mask on (:355-364)."""
+    m = jax.lax.stop_gradient(get_mask(state))
+    return (jnp.sum(m[:, :, 0], axis=1) > 0).astype(jnp.float32)
+
+
+def get_anchor_quantized(state: AnchorState,
+                         bounds: AnchorBounds) -> jnp.ndarray:
+    """16-bit quantized anchors with straight-through grads (:394-399)."""
+    q, _ = quantize_anchor(state.anchor, bounds.x_min, bounds.x_max)
+    return q
+
+
+def normalize_anchor(anchor: jnp.ndarray, bounds: AnchorBounds):
+    """Map to [0,1]^3 for the hash encoder (calc_interp_feat, :413-419)."""
+    return (anchor - bounds.x_min) / (bounds.x_max - bounds.x_min)

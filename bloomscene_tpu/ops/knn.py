@@ -1,0 +1,110 @@
+"""K-nearest-neighbor mean squared distance (simple-knn replacement).
+
+Replaces the reference's ``distCUDA2`` CUDA extension
+(submodules/simple-knn/simple_knn.cu:185-221, spatial.cu:14-25): for every
+point, the mean squared distance to its 3 nearest neighbors. Used once at
+init for Gaussian scales (gaussian_model.py:464) and for the adaptive voxel
+size (:447-449).
+
+TPU-native approach: the same Morton-order spatial locality trick as the
+CUDA kernel, but fully vectorized — sort points by 10-bit-per-axis Morton
+codes, then take the exact 3-NN within a +-``window`` neighborhood in sorted
+order. The CUDA version refines with box pruning to make it exact; with a
+window of 48 the approximation error on the *mean over 3 neighbors of
+squared distance* is negligible for the init-time uses (and an exact
+O(N^2) path is provided for small N / tests).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _morton10(x: jnp.ndarray) -> jnp.ndarray:
+    """Interleave 10-bit coords [N,3] -> 30-bit Morton codes [N] (int32).
+
+    Same expansion as simple_knn.cu:45-70 (prepMorton bit spreading).
+    """
+    def spread(v):
+        v = v.astype(jnp.uint32)
+        v = (v | (v << 16)) & np.uint32(0x030000FF)
+        v = (v | (v << 8)) & np.uint32(0x0300F00F)
+        v = (v | (v << 4)) & np.uint32(0x030C30C3)
+        v = (v | (v << 2)) & np.uint32(0x09249249)
+        return v
+    return (spread(x[:, 0]) | (spread(x[:, 1]) << 1)
+            | (spread(x[:, 2]) << 2)).astype(jnp.uint32)
+
+
+def _rotations() -> list[np.ndarray]:
+    """Fixed space rotations for the multi-pass Morton search: the identity
+    plus rotations that move the octant-boundary planes (where a single
+    Morton curve has long-range discontinuities)."""
+    def rot(axis, deg):
+        a = np.deg2rad(deg)
+        c, s = np.cos(a), np.sin(a)
+        if axis == 0:
+            return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+        if axis == 1:
+            return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    return [np.eye(3),
+            rot(2, 31.0) @ rot(0, 23.0),
+            rot(1, 47.0) @ rot(2, 61.0)]
+
+
+def knn_mean_sq_dist(points: jnp.ndarray, k: int = 3,
+                     window: int = 32) -> jnp.ndarray:
+    """Mean squared distance to the k nearest neighbors, per point. [N].
+
+    Multi-pass Morton search: each pass Morton-sorts the points in a
+    differently *rotated* frame (rotations move the curve's discontinuity
+    planes), takes +-window candidates in sorted order, and the k nearest
+    among the deduplicated union are used.
+    """
+    n = points.shape[0]
+    if n <= 2048:
+        return _knn_exact(points, k)
+
+    offs = np.concatenate([np.arange(-window, 0), np.arange(1, window + 1)])
+    offs = jnp.asarray(offs)
+    rows = jnp.arange(n)
+
+    cand_list = []
+    for R in _rotations():
+        pr = points @ jnp.asarray(R.T, jnp.float32)
+        lo = jnp.min(pr, 0)
+        hi = jnp.max(pr, 0)
+        unit = (pr - lo) / jnp.maximum(hi - lo, 1e-12)
+        grid = jnp.clip(unit * 1023.0, 0, 1023).astype(jnp.int32)
+        order = jnp.argsort(_morton10(grid))
+        inv = jnp.zeros_like(order).at[order].set(rows)
+        # for point p at sorted position inv[p], candidates are the points
+        # at sorted positions inv[p] + offs
+        pos = inv[:, None] + offs[None, :]
+        valid = (pos >= 0) & (pos < n)
+        cand = order[jnp.clip(pos, 0, n - 1)]            # [N, 2w]
+        cand = jnp.where(valid, cand, n)                 # n = sentinel
+        cand_list.append(cand)
+
+    cand = jnp.concatenate(cand_list, axis=1)            # [N, P*2w]
+    # dedupe: sort indices per row, inf-out repeats and sentinels
+    cand = jnp.sort(cand, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((n, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1)
+    bad = dup | (cand >= n)
+    cand_c = jnp.minimum(cand, n - 1)
+    diff = points[cand_c] - points[:, None, :]
+    d2 = jnp.sum(diff * diff, -1)
+    d2 = jnp.where(bad, jnp.inf, d2)
+    neg_top, _ = jax.lax.top_k(-d2, k)
+    return jnp.mean(-neg_top, -1)
+
+
+def _knn_exact(points: jnp.ndarray, k: int = 3) -> jnp.ndarray:
+    n = points.shape[0]
+    d2 = jnp.sum((points[:, None, :] - points[None, :, :]) ** 2, -1)
+    d2 = d2 + jnp.where(jnp.eye(n, dtype=bool), jnp.inf, 0.0)
+    neg_top, _ = jax.lax.top_k(-d2, min(k, n - 1))
+    return jnp.mean(-neg_top, -1)

@@ -1,0 +1,123 @@
+"""Anchor model init + neural decode + full render smoke tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bloomscene_tpu.config import GSConfig
+from bloomscene_tpu.models import anchors as anchors_lib
+from bloomscene_tpu.models.decode import decode_neural_gaussians
+from bloomscene_tpu.models.model import init_model
+from bloomscene_tpu.models.render import prefilter_anchors, render
+from bloomscene_tpu.ops.knn import knn_mean_sq_dist, _knn_exact
+from bloomscene_tpu.scene.cameras import camera_from_rt
+
+CFG = GSConfig(voxel_size=0.05, max_splats_per_tile=256)
+
+
+@pytest.fixture(scope="module")
+def model():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    pts[:, 2] += 2.5
+    m, vs = init_model(jax.random.PRNGKey(0), pts, CFG)
+    return m
+
+
+def make_cam():
+    cam = camera_from_rt(np.eye(3), np.zeros(3), 1.0, 1.0, 64, 64)
+    return cam.intrinsics, cam.device_arrays()
+
+
+def test_init_shapes(model):
+    st = model.state
+    n = int(st.num_alive())
+    assert n > 0
+    assert st.anchor.shape[1] == 3
+    assert st.offset.shape[1:] == (CFG.n_offsets, 3)
+    assert st.feat.shape[1] == CFG.feat_dim
+    assert st.scaling_log.shape[1] == 6
+    # capacity is a padded power-of-two-ish bucket
+    assert st.capacity >= n
+
+
+def test_knn_window_matches_exact(rng):
+    pts = jnp.asarray(rng.uniform(0, 1, (3000, 3)).astype(np.float32))
+    approx = knn_mean_sq_dist(pts, window=32)
+    exact = _knn_exact(pts)
+    rel = np.abs(np.asarray(approx - exact)) / np.asarray(exact)
+    # rotated multi-pass Morton search: bulk exact, small tail
+    assert np.quantile(rel, 0.9) < 1e-6
+    assert np.quantile(rel, 0.99) < 0.5
+
+
+@pytest.mark.parametrize("phase,mode", [(0, 'train'), (1, 'train'),
+                                        (2, 'train'), (0, 'eval')])
+def test_decode_shapes_and_validity(model, phase, mode):
+    C, K = model.state.capacity, CFG.n_offsets
+    m = model
+    if phase == 2 or mode == 'eval':
+        m = m._replace(bounds=anchors_lib.update_anchor_bounds(m.state))
+    dec, rate = decode_neural_gaussians(
+        m, jnp.zeros(3), CFG, phase=phase, mode=mode,
+        key=jax.random.PRNGKey(1))
+    assert dec.xyz.shape == (C * K, 3)
+    assert dec.color.shape == (C * K, 3)
+    assert dec.scaling.shape == (C * K, 3)
+    assert dec.rotation.shape == (C * K, 4)
+    assert dec.opacity.shape == (C * K,)
+    # dead-anchor children are invalid
+    dead_children = np.repeat(~np.asarray(model.state.alive), K)
+    assert not np.any(np.asarray(dec.valid)[dead_children])
+    # opacity zero outside validity
+    assert np.all(np.asarray(dec.opacity)[~np.asarray(dec.valid)] == 0)
+    # colors in [0,1] (sigmoid), rotations normalized
+    assert np.asarray(dec.color).min() >= 0 and np.asarray(dec.color).max() <= 1
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(dec.rotation), axis=1),
+                               1.0, atol=1e-5)
+    if phase == 2 and mode == 'train':
+        assert float(rate.bit_per_param) > 0
+    else:
+        assert float(rate.bit_per_param) == 0
+
+
+def test_prefilter_and_render_smoke(model):
+    intr, cam = make_cam()
+    m = model._replace(bounds=anchors_lib.update_anchor_bounds(model.state))
+    vis = prefilter_anchors(m, intr, cam)
+    assert int(jnp.sum(vis)) > 0
+    res = render(m, intr, cam, CFG, phase=0, mode='train',
+                 key=jax.random.PRNGKey(2))
+    assert res.out.color.shape == (64, 64, 3)
+    assert np.all(np.isfinite(np.asarray(res.out.color)))
+    assert np.all(np.isfinite(np.asarray(res.out.depth)))
+
+
+def test_render_grad_flows_to_all_params(model):
+    intr, cam = make_cam()
+    m = model._replace(bounds=anchors_lib.update_anchor_bounds(model.state))
+
+    def loss(m):
+        res = render(m, intr, cam, CFG, phase=2, mode='train',
+                     key=jax.random.PRNGKey(3))
+        return (jnp.mean(res.out.color ** 2)
+                + 0.1 * jnp.mean(res.out.depth ** 2)
+                + 1e-3 * res.rate.bit_per_param)
+
+    g = jax.grad(loss, allow_int=True)(m)
+    # every trained leaf gets a finite gradient; key ones are nonzero
+    def total(x):
+        return float(jnp.sum(jnp.abs(x)))
+    assert total(g.state.anchor) > 0
+    assert total(g.state.offset) >= 0
+    assert total(g.state.feat) > 0
+    assert total(g.state.scaling_log) > 0
+    assert total(g.state.mask_logit) > 0
+    assert total(g.heads['opacity'][0]['w']) > 0
+    assert total(g.heads['color'][0]['w']) > 0
+    assert total(g.heads['cov'][0]['w']) > 0
+    assert total(g.heads['grid'][0]['w']) > 0
+    assert total(g.grid['xyz']) > 0
+    for leaf in jax.tree.leaves(g):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert np.all(np.isfinite(np.asarray(leaf)))
