@@ -99,11 +99,11 @@ def decode_neural_gaussians(model: Model, cam_center: jnp.ndarray,
         ctx = calc_interp_feat(model, anchor, cfg)              # [C, ctx]
         out = heads_lib.apply_grid(model.heads, ctx)
         F = cfg.feat_dim
-        splits = [F, F, 6, 6, 3 * K, 3 * K, 1, 1, 1]
-        idx = list(jnp.cumsum(jnp.asarray(splits))[:-1])
+        import numpy as _np
+        splits = _np.cumsum([F, F, 6, 6, 3 * K, 3 * K, 1, 1, 1])[:-1]
         (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
          q_feat_adj, q_scaling_adj, q_offsets_adj) = jnp.split(
-            out, [int(i) for i in idx], axis=-1)
+            out, splits.tolist(), axis=-1)
         q_feat = cfg.q_base_feat * (1 + jnp.tanh(q_feat_adj))
         q_scaling = cfg.q_base_scaling * (1 + jnp.tanh(q_scaling_adj))
         q_offsets = cfg.q_base_offsets * (1 + jnp.tanh(q_offsets_adj))

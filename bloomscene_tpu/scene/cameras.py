@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -96,23 +96,11 @@ class Camera:
             camera_center=jnp.asarray(self.camera_center, jnp.float32))
 
 
-class CameraArrays(dict):
-    """Traced camera tensors (registered as a dict pytree)."""
-    def __init__(self, viewmat, full_proj, camera_center):
-        super().__init__(viewmat=viewmat, full_proj=full_proj,
-                         camera_center=camera_center)
-
-    @property
-    def viewmat(self):
-        return self['viewmat']
-
-    @property
-    def full_proj(self):
-        return self['full_proj']
-
-    @property
-    def camera_center(self):
-        return self['camera_center']
+class CameraArrays(NamedTuple):
+    """Traced camera tensors (NamedTuple = pytree)."""
+    viewmat: jnp.ndarray
+    full_proj: jnp.ndarray
+    camera_center: jnp.ndarray
 
 
 def camera_from_rt(R: np.ndarray, t: np.ndarray, fovx: float, fovy: float,

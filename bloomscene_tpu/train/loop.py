@@ -1,0 +1,194 @@
+"""The jitted training step + host-side training loop.
+
+Mirrors the reference hot loop (bloomscene.py:222-361): per step —
+LR schedules (inside optax), anchor prefilter, neural render, the loss stack
+(L1 + DSSIM + scaling reg + entropy rate + optional depth-prior
+regularizers), backward, densification stats; every ``update_interval``
+steps the host runs anchor surgery (models/densify.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GSConfig
+from ..models import densify
+from ..models.anchors import update_anchor_bounds
+from ..models.densify import DensifyStats
+from ..models.model import Model
+from ..models.render import prefilter_anchors, render
+from ..scene.cameras import CameraArrays, Intrinsics
+from . import losses
+from .optim import make_optimizer
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    loss_rgb: jnp.ndarray
+    loss_dep_value: jnp.ndarray
+    loss_dep_domin: jnp.ndarray
+    loss_dep_smooth: jnp.ndarray
+    bit_per_param: jnp.ndarray
+    psnr: jnp.ndarray
+    n_visible_anchors: jnp.ndarray
+    tile_overflow: jnp.ndarray
+
+
+def phase_of_step(step: int, cfg: GSConfig) -> int:
+    """Static training phase (decode noise/context schedule)."""
+    if step <= cfg.noise_from_step:
+        return 0
+    if step <= cfg.context_from_step:
+        return 1
+    return 2
+
+
+def compute_losses(res, gt_image, gt_depth, cfg: GSConfig):
+    """The reference loss stack (bloomscene.py:283-325)."""
+    image = res.out.color
+    l1 = losses.l1_loss(image, gt_image)
+    loss_rgb = ((1.0 - cfg.lambda_dssim) * l1
+                + cfg.lambda_dssim * (1.0 - losses.ssim(image, gt_image)))
+    loss = loss_rgb
+    # scaling regularizer: prod of decoded child scales (bloomscene.py:289)
+    scaling_reg = jnp.mean(jnp.where(
+        res.dec.valid, jnp.prod(res.dec.scaling, axis=1), 0.0))
+    loss = loss + cfg.lambda_scaling_reg * scaling_reg
+    loss = loss + cfg.lambda_entropy * res.rate.bit_per_param
+
+    zero = jnp.zeros(())
+    dep_value = dep_domin = dep_smooth = zero
+    if cfg.use_dpr:
+        gt_d = losses.minmax_normalize(gt_depth)
+        rd = losses.minmax_normalize(res.out.depth)
+        dep_value = cfg.lambda_dep_value * losses.huber_l1_edge_aware(
+            rd, gt_d, gt_image)
+        dep_domin = cfg.lambda_dep_domin * losses.cmd(
+            rd[None], gt_d[None, None])
+        dep_smooth = cfg.lambda_dep_smooth * losses.bilateral_smoothness(rd)
+        loss = loss + dep_value + dep_domin + dep_smooth
+
+    mse = jnp.mean((image - gt_image) ** 2)
+    psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+    return loss, dict(loss_rgb=loss_rgb, loss_dep_value=dep_value,
+                      loss_dep_domin=dep_domin, loss_dep_smooth=dep_smooth,
+                      psnr=psnr)
+
+
+def make_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
+                    bg: jnp.ndarray):
+    """Returns jitted step(model, opt_state, stats, cam, gt_image, gt_depth,
+    key, phase=<static>, track_stats=<static>)."""
+
+    @functools.partial(jax.jit, static_argnames=('phase', 'track_stats'))
+    def train_step(model: Model, opt_state, stats: DensifyStats,
+                   cam: CameraArrays, gt_image, gt_depth, key,
+                   *, phase: int, track_stats: bool):
+        visible = prefilter_anchors(model, intr, cam)
+        n_child = model.state.capacity * model.state.n_offsets
+        m2d_offset = jnp.zeros((n_child, 2))
+
+        def loss_fn(m, m2d):
+            res = render(m, intr, cam, cfg, phase=phase, mode='train',
+                         key=key, bg=bg, visible=visible,
+                         mean2d_offset=m2d)
+            loss, aux = compute_losses(res, gt_image, gt_depth, cfg)
+            return loss, (res, aux)
+
+        (loss, (res, aux)), (g_model, g_m2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True, allow_int=True)(
+                model, m2d_offset)
+
+        # frozen/bool leaves: replace int/bool cotangents with zeros
+        g_model = jax.tree.map(
+            lambda p, g: (jnp.zeros_like(p)
+                          if not jnp.issubdtype(p.dtype, jnp.floating)
+                          else g), model, g_model)
+        updates, opt_state = optimizer.update(g_model, opt_state, model)
+        model = jax.tree.map(
+            lambda p, u: p + u if jnp.issubdtype(p.dtype, jnp.floating)
+            else p, model, updates)
+
+        if track_stats:
+            stats = densify.accumulate_stats(
+                stats, res.dec.neural_opacity, res.dec.valid,
+                jax.lax.stop_gradient(res.proj.valid), visible, g_m2d,
+                intr.width, intr.height)
+
+        metrics = StepMetrics(
+            loss=loss, loss_rgb=aux['loss_rgb'],
+            loss_dep_value=aux['loss_dep_value'],
+            loss_dep_domin=aux['loss_dep_domin'],
+            loss_dep_smooth=aux['loss_dep_smooth'],
+            bit_per_param=res.rate.bit_per_param, psnr=aux['psnr'],
+            n_visible_anchors=jnp.sum(visible),
+            tile_overflow=res.tile_overflow)
+        return model, opt_state, stats, metrics
+
+    return train_step
+
+
+class Trainer:
+    """Host-side orchestration of the 2990-iteration optimization."""
+
+    def __init__(self, model: Model, cfg: GSConfig, intr: Intrinsics,
+                 voxel_size: float, spatial_lr_scale: float = 1.0,
+                 bg: np.ndarray | None = None, seed: int = 0):
+        self.cfg = cfg
+        self.intr = intr
+        self.voxel_size = voxel_size
+        self.model = model._replace(bounds=update_anchor_bounds(model.state))
+        self.optimizer = make_optimizer(cfg, spatial_lr_scale, model)
+        self.opt_state = self.optimizer.init(model)
+        self.stats = densify.init_stats(model.state.capacity, cfg.n_offsets)
+        bg_arr = jnp.asarray(bg if bg is not None else
+                             (np.ones(3) if cfg.white_background
+                              else np.zeros(3)), jnp.float32)
+        self.bg = bg_arr
+        self.step_fn = make_train_step(cfg, intr, self.optimizer, bg_arr)
+        self.key = jax.random.PRNGKey(seed)
+        self.np_rng = np.random.default_rng(seed)
+        self.history: list[dict] = []
+
+    def run(self, cameras, iterations: int | None = None,
+            log_every: int = 100, callback=None):
+        """cameras: list of (CameraArrays, gt_image, gt_depth) device arrays."""
+        cfg = self.cfg
+        iterations = iterations or cfg.iterations
+        for it in range(1, iterations + 1):
+            self.key, k_cam, k_step = jax.random.split(self.key, 3)
+            cam_idx = int(jax.random.randint(k_cam, (), 0, len(cameras)))
+            cam, gt_image, gt_depth = cameras[cam_idx]
+            phase = phase_of_step(it, cfg)
+            if it == cfg.context_from_step:
+                self.model = self.model._replace(
+                    bounds=update_anchor_bounds(self.model.state))
+            track = cfg.start_stat < it < cfg.update_until
+            self.model, self.opt_state, self.stats, metrics = self.step_fn(
+                self.model, self.opt_state, self.stats, cam, gt_image,
+                gt_depth, k_step, phase=phase, track_stats=track)
+
+            in_pause = cfg.densify_pause_from <= it < cfg.densify_pause_until
+            if (track and not in_pause and it > cfg.update_from
+                    and it % cfg.update_interval == 0):
+                self.model, self.stats, self.opt_state, info = \
+                    densify.adjust_anchor(self.model, self.stats,
+                                          self.opt_state, cfg,
+                                          self.voxel_size, self.np_rng)
+            else:
+                info = None
+
+            if it % log_every == 0 or it == iterations:
+                rec = {k: float(v) for k, v in metrics._asdict().items()}
+                rec['iteration'] = it
+                if info:
+                    rec.update({f'densify_{k}': v for k, v in info.items()
+                                if not isinstance(v, bool)})
+                self.history.append(rec)
+                if callback:
+                    callback(rec)
+        return self.model

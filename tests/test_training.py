@@ -1,0 +1,128 @@
+"""Training integration: loss decreases, densification surgery works."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bloomscene_tpu.config import GSConfig
+from bloomscene_tpu.models.model import init_model
+from bloomscene_tpu.models import densify
+from bloomscene_tpu.train.loop import Trainer, phase_of_step
+from bloomscene_tpu.train.schedules import expon_lr
+from bloomscene_tpu.scene.cameras import camera_from_rt
+
+
+def small_cfg(**kw):
+    base = dict(voxel_size=0.08, max_splats_per_tile=2048, iterations=120,
+                start_stat=10, update_from=20, update_interval=40,
+                update_until=110, densify_pause_from=10 ** 9,
+                noise_from_step=10 ** 9, context_from_step=10 ** 9)
+    base.update(kw)
+    return GSConfig(**base)
+
+
+def synthetic_scene(n=800, seed=0):
+    rng = np.random.default_rng(seed)
+    th, ph = rng.uniform(0, np.pi, n), rng.uniform(0, 2 * np.pi, n)
+    pts = np.stack([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                    np.cos(th)], -1).astype(np.float32) * 0.7
+    pts[:, 2] += 2.5
+    return pts
+
+
+def target_views(W=64, H=64):
+    cam = camera_from_rt(np.eye(3), np.zeros(3), 1.0, 1.0, W, H)
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.zeros((H, W, 3), np.float32)
+    img[(xx - W // 2) ** 2 + (yy - H // 2) ** 2 < (W // 3) ** 2] = [0.8, 0.4, 0.2]
+    depth = np.where((xx - W // 2) ** 2 + (yy - H // 2) ** 2 < (W // 3) ** 2,
+                     2.5, 0.0).astype(np.float32)
+    return cam, [(cam.device_arrays(), jnp.asarray(img), jnp.asarray(depth))]
+
+
+def test_expon_lr_schedule():
+    f = expon_lr(1e-2, 1e-4, max_steps=100)
+    assert abs(float(f(0)) - 1e-2) < 1e-9
+    assert abs(float(f(100)) - 1e-4) < 1e-9
+    assert 1e-4 < float(f(50)) < 1e-2
+
+
+def test_phase_of_step():
+    cfg = GSConfig()
+    assert phase_of_step(1, cfg) == 0
+    assert phase_of_step(1000, cfg) == 0
+    assert phase_of_step(1001, cfg) == 1
+    assert phase_of_step(2000, cfg) == 1
+    assert phase_of_step(2001, cfg) == 2
+
+
+def test_training_loss_decreases():
+    cfg = small_cfg(iterations=80, update_from=10 ** 9)  # no densify
+    pts = synthetic_scene()
+    model, vs = init_model(jax.random.PRNGKey(0), pts, cfg)
+    cam, views = target_views()
+    tr = Trainer(model, cfg, cam.intrinsics, vs)
+    tr.run(views, log_every=20)
+    first = tr.history[0]['loss']
+    last = tr.history[-1]['loss']
+    assert last < first * 0.7, (first, last)
+    assert tr.history[-1]['tile_overflow'] == 0
+
+
+def test_training_with_densification_and_rate():
+    """Cross an adjust_anchor boundary and the context phase."""
+    cfg = small_cfg(iterations=100, update_from=20, update_interval=30,
+                    update_until=95, noise_from_step=30, context_from_step=60)
+    pts = synthetic_scene(400)
+    model, vs = init_model(jax.random.PRNGKey(1), pts, cfg)
+    cam, views = target_views()
+    tr = Trainer(model, cfg, cam.intrinsics, vs)
+    m = tr.run(views, log_every=10)
+    # model survived surgery; rate loss kicked in after context_from_step
+    assert any(r.get('bit_per_param', 0) > 0 for r in tr.history)
+    assert int(m.state.num_alive()) > 0
+    assert all(np.isfinite(r['loss']) for r in tr.history)
+
+
+def test_adjust_anchor_grow_and_prune():
+    cfg = small_cfg()
+    pts = synthetic_scene(300)
+    model, vs = init_model(jax.random.PRNGKey(2), pts, cfg)
+    C, K = model.state.capacity, cfg.n_offsets
+    from bloomscene_tpu.train.optim import make_optimizer
+    opt = make_optimizer(cfg, 1.0, model)
+    opt_state = opt.init(model)
+
+    stats = densify.init_stats(C, K)
+    n0 = int(model.state.num_alive())
+    # fabricate stats: strong gradients on children of first 50 anchors,
+    # zero opacity on the last 50 alive anchors (prune candidates)
+    alive_idx = np.where(np.asarray(model.state.alive))[0]
+    ga = np.zeros((C, K), np.float32)
+    gd = np.zeros((C, K), np.float32)
+    ga[alive_idx[:50]] = 0.02 * 21        # avg grad over 21 visits
+    gd[alive_idx[:50]] = 21
+    oa = np.zeros(C, np.float32)
+    ad = np.zeros(C, np.float32)
+    oa[alive_idx] = 10.0                  # healthy opacity
+    oa[alive_idx[-50:]] = 0.0             # dead opacity -> prune
+    ad[alive_idx] = 40.0                  # > update_interval*0.8
+    stats = densify.DensifyStats(jnp.asarray(oa), jnp.asarray(ad),
+                                 jnp.asarray(ga), jnp.asarray(gd))
+    # give the hot anchors spread-out offsets so grown voxels are new
+    off = np.array(model.state.offset)
+    off[alive_idx[:50]] = np.random.default_rng(0).uniform(
+        -40, 40, (50, K, 3))
+    model = model._replace(state=model.state._replace(
+        offset=jnp.asarray(off),
+        scaling_log=model.state.scaling_log))
+
+    m2, stats2, opt2, info = densify.adjust_anchor(
+        model, stats, opt_state, cfg, vs, np.random.default_rng(0))
+    assert info['n_new'] > 0
+    assert info['n_pruned'] == 50
+    assert info['n_alive'] == n0 + info['n_new'] - 50
+    # stats for changed slots were reset
+    assert float(jnp.sum(stats2.anchor_demon)) <= float(jnp.sum(stats.anchor_demon))
+    # cov log-scales clamped at 0.05
+    assert float(jnp.max(m2.state.scaling_log[:, 3:])) <= 0.05 + 1e-6
