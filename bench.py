@@ -1,0 +1,94 @@
+"""Benchmark: fwd+bwd tile-rasterizer throughput at 100K splats, 512x512.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The metric is the BASELINE.json north star — Mpixels/s/chip for a full
+forward+backward rasterization (projection + binning + blend + gradient
+reduction to all Gaussian parameters) of a 512x512 view with 100K splats.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); we use a
+nominal 40 Mpix/s estimate for the reference CUDA rasterizer fwd+bwd at
+this size on its era GPU as the comparison point.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MPIX_S = 40.0
+N_SPLATS = 100_000
+W = H = 512
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from bloomscene_tpu.ops import projection
+    from bloomscene_tpu.ops.tile_rasterizer import rasterize_tiles
+    from bloomscene_tpu.ops import graphics
+
+    rng = np.random.default_rng(0)
+    n = N_SPLATS
+    means = np.stack([rng.uniform(-1.5, 1.5, n), rng.uniform(-1.5, 1.5, n),
+                      rng.uniform(0.5, 8.0, n)], -1).astype(np.float32)
+    scales = rng.uniform(0.002, 0.02, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, n).astype(np.float32)
+
+    fovx = fovy = 1.0
+    view = jnp.asarray(graphics.world_to_view(np.eye(3), np.zeros(3)))
+    full = jnp.asarray(
+        np.asarray(graphics.projection_matrix(0.01, 100.0, fovx, fovy))
+        @ np.asarray(view))
+    fx = graphics.fov2focal(fovx, W)
+    fy = graphics.fov2focal(fovy, H)
+    tx = ty = float(np.tan(fovx / 2))
+
+    tgt_c = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    tgt_d = jnp.asarray(rng.uniform(1, 6, (H, W)).astype(np.float32))
+
+    @jax.jit
+    def fwd_bwd(means, scales, quats, colors, opac):
+        def loss(args):
+            means, scales, quats, colors, opac = args
+            cov6 = projection.build_cov3d(scales, quats)
+            proj = projection.project_gaussians(means, cov6, view, full,
+                                                W, H, fx, fy, tx, ty)
+            out, _ = rasterize_tiles(proj, colors, opac, jnp.zeros(3),
+                                     W, H, tile=16, pair_capacity=524288,
+                                     tile_capacity=1024)
+            return (jnp.mean(jnp.abs(out.color - tgt_c))
+                    + 0.5 * jnp.mean(jnp.abs(out.depth - tgt_d)))
+        l, g = jax.value_and_grad(loss)((means, scales, quats, colors, opac))
+        return l, g
+
+    args = tuple(jnp.asarray(a) for a in (means, scales, quats, colors,
+                                          opac))
+    for _ in range(WARMUP):
+        l, g = fwd_bwd(*args)
+    jax.block_until_ready((l, g))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        l, g = fwd_bwd(*args)
+    jax.block_until_ready((l, g))
+    dt = time.perf_counter() - t0
+
+    mpix_s = W * H * ITERS / dt / 1e6
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_mpix_per_s_per_chip_100k_splats_512px",
+        "value": round(mpix_s, 3),
+        "unit": "Mpixels/s/chip",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,345 @@
+"""Scene compression codec: rate estimation + encode/decode round trip.
+
+The HAC-style structured context compression head (reference
+scene/gaussian_model.py:1016-1377): per 1000-anchor chunk, the hash-grid
+context MLP predicts gaussian entropy parameters and adaptive quantization
+steps for feat/scaling/offsets; quantized values are rANS-coded against
+those gaussians; hash tables and child masks are Bernoulli-coded; anchors
+are stored raw at 16 bits/coordinate. The TPU computes contexts/params
+in-graph; the host packs bitstreams (codec/rans.py, native C++).
+
+Differences from the reference, by design:
+- one directory of .b chunk files + meta.npz instead of pickled tuples;
+- anchors stored as uint16 quantization codes + AABB (the reference
+  torch.saves the float anchors, gaussian_model.py:1112, which defeats its
+  own 16-bit estimate; we store actual 16-bit codes).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GSConfig
+from ..models import heads as heads_lib
+from ..models.anchors import (AnchorBounds, AnchorState, get_mask,
+                              get_mask_anchor, get_anchor_quantized,
+                              get_scaling)
+from ..models.model import Model, calc_interp_feat
+from ..ops.entropy import entropy_gaussian_bits, binary_entropy_bits
+from ..ops.hashgrid import all_grid_params_flat
+from ..ops.quantization import (ANCHOR_ROUND_DIGITS, Q_ANCHOR,
+                                quantize_anchor, ste_multistep)
+from . import rans
+
+BIT2MB = 8 * 1024 * 1024
+CHUNK = 1000
+
+
+def _anchors_from_codes(codes: np.ndarray, bmin: np.ndarray,
+                        bmax: np.ndarray) -> np.ndarray:
+    """Deterministic float32 anchor reconstruction from 16-bit codes.
+
+    Used identically on the encode and decode sides so the context MLP
+    (which conditions the entropy model) sees bit-identical inputs — a
+    mismatch would derail the rANS stream. Encode/decode must also run on
+    the same backend for the MLP itself to be deterministic. The arithmetic
+    mirrors quantize_anchor's f32 ops so re-quantization is exact under its
+    nudged floor.
+    """
+    bmin32 = bmin.astype(np.float32)
+    bmax32 = bmax.astype(np.float32)
+    interval = np.float32((bmax32 - bmin32) * np.float32(Q_ANCHOR)
+                          + np.float32(1e-6))
+    return (codes.astype(np.float32) * interval + bmin32).astype(np.float32)
+
+
+def _context_params(model: Model, anchors: jnp.ndarray, cfg: GSConfig):
+    """grid MLP -> entropy params + adaptive Q for given anchors."""
+    ctx = calc_interp_feat(model, anchors, cfg)
+    out = heads_lib.apply_grid(model.heads, ctx)
+    F, K = cfg.feat_dim, cfg.n_offsets
+    splits = np.cumsum([F, F, 6, 6, 3 * K, 3 * K, 1, 1, 1])[:-1]
+    (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
+     qf_adj, qs_adj, qo_adj) = jnp.split(out, splits.tolist(), axis=-1)
+    q_f = cfg.q_base_feat * (1 + jnp.tanh(qf_adj))
+    q_s = cfg.q_base_scaling * (1 + jnp.tanh(qs_adj))
+    q_o = cfg.q_base_offsets * (1 + jnp.tanh(qo_adj))
+    return (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o, q_f, q_s, q_o)
+
+
+def _alive_arrays(model: Model, cfg: GSConfig):
+    """Compacted (host-side) per-anchor arrays for coding: only alive
+    anchors whose child mask is non-empty (get_mask_anchor)."""
+    st = model.state
+    keep = np.asarray(st.alive) & (np.asarray(get_mask_anchor(st)) > 0)
+    idx = np.where(keep)[0]
+    anchor_q = np.asarray(get_anchor_quantized(st, model.bounds))[idx]
+    return idx, {
+        'anchor': anchor_q,
+        'feat': np.asarray(st.feat)[idx],
+        'offsets': np.asarray(st.offset)[idx],
+        'scaling': np.asarray(get_scaling(st))[idx],
+        'mask': np.asarray(get_mask(st))[idx],
+    }
+
+
+def estimate_final_bits(model: Model, cfg: GSConfig) -> dict:
+    """estimate_final_bits equivalent (gaussian_model.py:1016-1071)."""
+    idx, arr = _alive_arrays(model, cfg)
+    n = idx.size
+    anchors = jnp.asarray(arr['anchor'])
+    (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
+     q_f, q_s, q_o) = _context_params(model, anchors, cfg)
+
+    feat = ste_multistep(jnp.asarray(arr['feat']), q_f,
+                         jnp.asarray(arr['feat']).mean())
+    scaling = ste_multistep(jnp.asarray(arr['scaling']), q_s,
+                            jnp.asarray(arr['scaling']).mean())
+    offsets = ste_multistep(jnp.asarray(arr['offsets']), q_o[:, :, None],
+                            jnp.asarray(arr['offsets']).mean())
+    offsets = offsets.reshape(n, -1)
+
+    bit_feat = jnp.sum(entropy_gaussian_bits(
+        feat, mean_f, scale_f, q_f, feat.mean()))
+    bit_scaling = jnp.sum(entropy_gaussian_bits(
+        scaling, mean_s, scale_s, q_s, scaling.mean()))
+    mask3 = np.repeat(arr['mask'][:, :, 0], 3, axis=-1)
+    bit_offsets = jnp.sum(entropy_gaussian_bits(
+        offsets, mean_o, scale_o, q_o, offsets.mean()) * mask3)
+
+    hash_flat = np.asarray(all_grid_params_flat(model.grid))
+    hash_bin = np.where(hash_flat >= 0, 1.0, -1.0)
+    _, bit_hash = binary_entropy_bits(jnp.asarray((hash_bin + 1) / 2))
+    _, bit_masks = binary_entropy_bits(jnp.asarray(arr['mask']))
+    bit_anchor = n * 3 * ANCHOR_ROUND_DIGITS
+    bit_mlp = heads_lib.mlp_param_bits(model.heads)
+
+    sizes = {
+        'anchor_MB': float(bit_anchor) / BIT2MB,
+        'feat_MB': float(bit_feat) / BIT2MB,
+        'scaling_MB': float(bit_scaling) / BIT2MB,
+        'offsets_MB': float(bit_offsets) / BIT2MB,
+        'hash_MB': float(bit_hash) / BIT2MB,
+        'masks_MB': float(bit_masks) / BIT2MB,
+        'MLPs_MB': float(bit_mlp) / BIT2MB,
+    }
+    sizes['total_MB'] = sum(sizes.values())
+    sizes['n_anchors'] = n
+    return sizes
+
+
+def encode_scene(model: Model, cfg: GSConfig, path: str) -> dict:
+    """conduct_encoding equivalent (gaussian_model.py:1073-1230)."""
+    t1 = time.time()
+    os.makedirs(path, exist_ok=True)
+    idx, arr = _alive_arrays(model, cfg)
+    n = idx.size
+    steps = -(-n // CHUNK)
+
+    # anchors: store actual 16-bit codes + bounds. arr['anchor'] is already
+    # the quantized reconstruction q*interval+min, so round() recovers q
+    # exactly (floor would be off-by-one at ulp boundaries).
+    bounds_min = np.asarray(model.bounds.x_min)
+    bounds_max = np.asarray(model.bounds.x_max)
+    interval = ((bounds_max.astype(np.float64)
+                 - bounds_min.astype(np.float64)) * Q_ANCHOR + 1e-6)
+    codes = np.clip(np.round((arr['anchor'].astype(np.float64)
+                              - bounds_min) / interval),
+                    0, 2 ** ANCHOR_ROUND_DIGITS - 1).astype(np.uint16)
+    np.save(os.path.join(path, 'anchor_codes.npy'), codes)
+    # context conditioning uses the code-reconstructed anchors on BOTH
+    # sides (see _anchors_from_codes)
+    arr['anchor'] = _anchors_from_codes(codes, bounds_min, bounds_max)
+
+    meta = {'n': int(n), 'chunk': CHUNK, 'chunks': []}
+    feat_mean = float(arr['feat'].mean())
+    scaling_mean = float(arr['scaling'].mean())
+    offsets_mean = float(arr['offsets'].mean())
+    bit_feat = bit_scaling = bit_offsets = 0
+
+    for s in range(steps):
+        lo, hi = s * CHUNK, min((s + 1) * CHUNK, n)
+        anchors = jnp.asarray(arr['anchor'][lo:hi])
+        (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
+         q_f, q_s, q_o) = _context_params(model, anchors, cfg)
+        m = hi - lo
+        qf = np.broadcast_to(np.asarray(q_f), (m, cfg.feat_dim)).ravel()
+        qs = np.broadcast_to(np.asarray(q_s), (m, 6)).ravel()
+        qo = np.broadcast_to(np.asarray(q_o),
+                             (m, 3 * cfg.n_offsets)).ravel()
+
+        feat = np.asarray(ste_multistep(
+            jnp.asarray(arr['feat'][lo:hi]), q_f, feat_mean)).ravel()
+        data_f, minf, maxf = rans.encode_gaussian(
+            feat, np.asarray(mean_f).ravel(),
+            np.clip(np.asarray(scale_f).ravel(), 1e-9, None), qf)
+        with open(os.path.join(path, f'feat_{s}.b'), 'wb') as f:
+            f.write(data_f)
+
+        scaling = np.asarray(ste_multistep(
+            jnp.asarray(arr['scaling'][lo:hi]), q_s, scaling_mean)).ravel()
+        data_s, mins, maxs = rans.encode_gaussian(
+            scaling, np.asarray(mean_s).ravel(),
+            np.clip(np.asarray(scale_s).ravel(), 1e-9, None), qs)
+        with open(os.path.join(path, f'scaling_{s}.b'), 'wb') as f:
+            f.write(data_s)
+
+        mask3 = np.repeat(arr['mask'][lo:hi, :, 0], 3, axis=-1) > 0.5
+        mask3 = mask3.reshape(-1)
+        offsets = np.asarray(ste_multistep(
+            jnp.asarray(arr['offsets'][lo:hi]), q_o[:, :, None],
+            offsets_mean)).reshape(m, -1).ravel()
+        data_o, mino, maxo = rans.encode_gaussian(
+            offsets[mask3], np.asarray(mean_o).ravel()[mask3],
+            np.clip(np.asarray(scale_o).ravel()[mask3], 1e-9, None),
+            qo[mask3])
+        with open(os.path.join(path, f'offsets_{s}.b'), 'wb') as f:
+            f.write(data_o)
+
+        bit_feat += len(data_f) * 8
+        bit_scaling += len(data_s) * 8
+        bit_offsets += len(data_o) * 8
+        meta['chunks'].append({
+            'min_feat': int(minf), 'max_feat': int(maxf),
+            'min_scaling': int(mins), 'max_scaling': int(maxs),
+            'min_offsets': int(mino), 'max_offsets': int(maxo)})
+
+    # hash tables: Bernoulli
+    hash_flat = np.asarray(all_grid_params_flat(model.grid)).ravel()
+    hash_bin = np.where(hash_flat >= 0, 1.0, -1.0).astype(np.float32)
+    prob_hash = float((hash_bin > 0).mean())
+    with open(os.path.join(path, 'hash.b'), 'wb') as f:
+        f.write(rans.encode_binary(hash_bin, prob_hash))
+    bit_hash = os.path.getsize(os.path.join(path, 'hash.b')) * 8
+
+    # child masks: Bernoulli
+    masks = arr['mask'].reshape(-1)
+    prob_masks = float((masks > 0.5).mean())
+    with open(os.path.join(path, 'masks.b'), 'wb') as f:
+        f.write(rans.encode_binary(masks * 2 - 1, prob_masks))
+    bit_masks = os.path.getsize(os.path.join(path, 'masks.b')) * 8
+
+    meta.update(prob_hash=prob_hash, prob_masks=prob_masks,
+                feat_mean=feat_mean, scaling_mean=scaling_mean,
+                offsets_mean=offsets_mean,
+                bounds_min=bounds_min.tolist(), bounds_max=bounds_max.tolist())
+    with open(os.path.join(path, 'meta.json'), 'w') as f:
+        json.dump(meta, f)
+
+    bit_anchor = codes.size * ANCHOR_ROUND_DIGITS
+    sizes = {
+        'anchor_MB': bit_anchor / BIT2MB,
+        'feat_MB': bit_feat / BIT2MB,
+        'scaling_MB': bit_scaling / BIT2MB,
+        'offsets_MB': bit_offsets / BIT2MB,
+        'hash_MB': bit_hash / BIT2MB,
+        'masks_MB': bit_masks / BIT2MB,
+        'MLPs_MB': heads_lib.mlp_param_bits(model.heads) / BIT2MB,
+        'encode_time_s': time.time() - t1,
+        'n_anchors': int(n),
+    }
+    sizes['total_MB'] = sum(v for k, v in sizes.items()
+                            if k.endswith('_MB'))
+    return sizes
+
+
+def decode_scene(model_shell: Model, cfg: GSConfig, path: str) -> Model:
+    """conduct_decoding equivalent (gaussian_model.py:1233-1377).
+
+    ``model_shell`` provides the MLP heads + hash grids (from the MLP
+    checkpoint); per-anchor state is rebuilt from the bitstream. The
+    returned Model's state stores decoded values re-expressed so the
+    standard activations reproduce them (log of decoded scaling, +-10
+    mask logits); use mode='decoded' renders for bit-faithful eval.
+    """
+    with open(os.path.join(path, 'meta.json')) as f:
+        meta = json.load(f)
+    n = meta['n']
+    K, F = cfg.n_offsets, cfg.feat_dim
+
+    # hash tables first (context depends on them)
+    hash_flat = all_grid_params_flat(model_shell.grid)
+    total_hash = hash_flat.shape[0] * hash_flat.shape[1]
+    with open(os.path.join(path, 'hash.b'), 'rb') as f:
+        hash_bin = rans.decode_binary(f.read(), meta['prob_hash'],
+                                      total_hash)
+    grid = _unflatten_grid(model_shell.grid,
+                           hash_bin.reshape(hash_flat.shape))
+    bounds = AnchorBounds(
+        x_min=jnp.asarray(np.array(meta['bounds_min'], np.float32)),
+        x_max=jnp.asarray(np.array(meta['bounds_max'], np.float32)))
+    model = model_shell._replace(grid=grid, bounds=bounds)
+
+    # anchors from 16-bit codes (same reconstruction as the encode side)
+    codes = np.load(os.path.join(path, 'anchor_codes.npy'))
+    bmin = np.array(meta['bounds_min'], np.float32)
+    bmax = np.array(meta['bounds_max'], np.float32)
+    anchors = _anchors_from_codes(codes, bmin, bmax)
+
+    with open(os.path.join(path, 'masks.b'), 'rb') as f:
+        masks = rans.decode_binary(f.read(), meta['prob_masks'], n * K,
+                                   as_pm1=False).reshape(n, K, 1)
+
+    feat = np.zeros((n, F), np.float32)
+    scaling = np.zeros((n, 6), np.float32)
+    offsets = np.zeros((n, K, 3), np.float32)
+    for s, cm in enumerate(meta['chunks']):
+        lo, hi = s * CHUNK, min((s + 1) * CHUNK, n)
+        m = hi - lo
+        (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
+         q_f, q_s, q_o) = _context_params(
+            model, jnp.asarray(anchors[lo:hi], jnp.float32), cfg)
+        qf = np.broadcast_to(np.asarray(q_f), (m, F)).ravel()
+        qs = np.broadcast_to(np.asarray(q_s), (m, 6)).ravel()
+        qo = np.broadcast_to(np.asarray(q_o), (m, 3 * K)).ravel()
+
+        with open(os.path.join(path, f'feat_{s}.b'), 'rb') as f:
+            feat[lo:hi] = rans.decode_gaussian(
+                f.read(), np.asarray(mean_f).ravel(),
+                np.clip(np.asarray(scale_f).ravel(), 1e-9, None), qf,
+                cm['min_feat'], cm['max_feat']).reshape(m, F)
+        with open(os.path.join(path, f'scaling_{s}.b'), 'rb') as f:
+            scaling[lo:hi] = rans.decode_gaussian(
+                f.read(), np.asarray(mean_s).ravel(),
+                np.clip(np.asarray(scale_s).ravel(), 1e-9, None), qs,
+                cm['min_scaling'], cm['max_scaling']).reshape(m, 6)
+        mask3 = np.repeat(masks[lo:hi, :, 0], 3, axis=-1).reshape(-1) > 0.5
+        off_flat = np.zeros(m * 3 * K)
+        if mask3.any():
+            with open(os.path.join(path, f'offsets_{s}.b'), 'rb') as f:
+                off_flat[mask3] = rans.decode_gaussian(
+                    f.read(), np.asarray(mean_o).ravel()[mask3],
+                    np.clip(np.asarray(scale_o).ravel()[mask3], 1e-9, None),
+                    qo[mask3], cm['min_offsets'], cm['max_offsets'])
+        offsets[lo:hi] = off_flat.reshape(m, K, 3)
+
+    state = AnchorState(
+        anchor=jnp.asarray(anchors, jnp.float32),
+        offset=jnp.asarray(offsets),
+        mask_logit=jnp.asarray(np.where(masks > 0.5, 10.0, -10.0),
+                               jnp.float32),
+        feat=jnp.asarray(feat),
+        scaling_log=jnp.asarray(np.log(np.clip(scaling, 1e-9, None)),
+                                jnp.float32),
+        rotation=jnp.asarray(np.tile([1, 0, 0, 0], (n, 1)), jnp.float32),
+        opacity_raw=jnp.zeros((n, 1), jnp.float32),
+        alive=jnp.ones((n,), bool))
+    return model._replace(state=state)
+
+
+def _unflatten_grid(grid_template: dict, flat_bin: np.ndarray) -> dict:
+    out = {}
+    pos = 0
+    for key in ('xyz', 'xy', 'xz', 'yz'):
+        t = np.asarray(grid_template[key])
+        out[key] = jnp.asarray(
+            flat_bin[pos:pos + t.shape[0]].astype(np.float32))
+        pos += t.shape[0]
+    assert pos == flat_bin.shape[0]
+    return out

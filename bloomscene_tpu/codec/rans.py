@@ -1,0 +1,243 @@
+"""rANS entropy coder: ctypes bindings to the native C++ coder.
+
+Replaces torchac (the reference's CPU arithmetic coder,
+utils/encodings.py:84-174). The native library is compiled on first use
+from native/rans.cpp (g++ -O3); a pure-python rANS fallback keeps
+everything functional without a toolchain.
+
+API mirrors what the scene codec needs:
+- ``encode_with_cdf(symbols, cdf_float)`` / ``decode_with_cdf`` — per-symbol
+  float CDF rows (like torchac.encode_float_cdf).
+- ``encode_gaussian`` / ``decode_gaussian`` — gaussian-conditioned coding of
+  quantized values (reference encoder_gaussian/decoder_gaussian,
+  encodings.py:84-138).
+- ``encode_binary`` / ``decode_binary`` — Bernoulli coding of {-1,+1} or
+  {0,1} tensors (reference encoder/decoder, encodings.py:141-174).
+"""
+from __future__ import annotations
+
+import ctypes
+import math
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_PROB_BITS = 16
+_PROB_SCALE = 1 << _PROB_BITS
+
+_lib = None
+_lib_tried = False
+
+
+def _native_lib():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    src = os.path.join(here, 'native', 'rans.cpp')
+    so = os.path.join(here, 'native', 'build', 'librans.so')
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            os.makedirs(os.path.dirname(so), exist_ok=True)
+            subprocess.run(['g++', '-O3', '-shared', '-fPIC', '-o', so, src],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.rans_encode.restype = ctypes.c_int64
+        lib.rans_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64]
+        lib.rans_decode.restype = ctypes.c_int32
+        lib.rans_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def quantize_cdf(cdf_float: np.ndarray) -> np.ndarray:
+    """Float CDF rows [N, K+1] in [0,1] -> uint16 rows with strictly
+    increasing values, 0 start, total 2^16 (final entry stored as 0).
+
+    Same guarantee scheme as torchac: each symbol keeps >= 1/2^16 mass.
+    """
+    cdf_float = np.asarray(cdf_float, np.float64)
+    n, kp1 = cdf_float.shape
+    k = kp1 - 1
+    cdf = np.clip(cdf_float, 0.0, 1.0)
+    cdf = np.maximum.accumulate(cdf, axis=1)
+    # scale to (2^16 - K) then add ramp to force strict monotonicity
+    q = np.round(cdf * (_PROB_SCALE - k)).astype(np.int64)
+    q = q + np.arange(kp1, dtype=np.int64)[None, :]
+    q[:, 0] = 0
+    q[:, -1] = _PROB_SCALE
+    q = np.maximum.accumulate(q, axis=1)
+    return (q & 0xFFFF).astype(np.uint16)   # 65536 -> 0 in the last entry
+
+
+# ---------------- pure-python fallback ----------------
+
+def _row_bounds(row: np.ndarray, sym: int, k: int):
+    lo = int(row[sym])
+    hi = _PROB_SCALE if sym + 1 == k else int(row[sym + 1])
+    if hi == 0 and lo != 0:
+        hi = _PROB_SCALE
+    return lo, hi - lo
+
+
+def _py_encode(symbols: np.ndarray, cdf_q: np.ndarray) -> bytes:
+    n, kp1 = cdf_q.shape
+    k = kp1 - 1
+    L = 1 << 23
+    state = L
+    out = bytearray()
+    for i in range(n - 1, -1, -1):
+        lo, freq = _row_bounds(cdf_q[i], int(symbols[i]), k)
+        x_max = ((L >> _PROB_BITS) << 8) * freq
+        while state >= x_max:
+            out.append(state & 0xFF)
+            state >>= 8
+        state = ((state // freq) << _PROB_BITS) + (state % freq) + lo
+    head = state.to_bytes(4, 'little')
+    return head + bytes(reversed(out))
+
+
+def _py_decode(data: bytes, cdf_q: np.ndarray, n: int) -> np.ndarray:
+    kp1 = cdf_q.shape[1]
+    k = kp1 - 1
+    L = 1 << 23
+    state = int.from_bytes(data[:4], 'little')
+    pos = 4
+    out = np.empty(n, np.int32)
+    for i in range(n):
+        slot = state & (_PROB_SCALE - 1)
+        row = cdf_q[i]
+        lo_i, hi_i = 0, k - 1
+        while lo_i < hi_i:
+            mid = (lo_i + hi_i + 1) >> 1
+            v = int(row[mid])
+            if mid < k and v == 0 and mid > 0:
+                v = _PROB_SCALE
+            if v <= slot:
+                lo_i = mid
+            else:
+                hi_i = mid - 1
+        sym = lo_i
+        lo, freq = _row_bounds(row, sym, k)
+        out[i] = sym
+        state = freq * (state >> _PROB_BITS) + slot - lo
+        while state < L and pos < len(data):
+            state = (state << 8) | data[pos]
+            pos += 1
+    return out
+
+
+# ---------------- public API ----------------
+
+def encode_with_cdf(symbols: np.ndarray, cdf_float: np.ndarray) -> bytes:
+    """symbols int [N], cdf_float [N, K+1] -> bitstream bytes."""
+    symbols = np.ascontiguousarray(symbols, np.int32)
+    cdf_q = np.ascontiguousarray(quantize_cdf(cdf_float))
+    n, kp1 = cdf_q.shape
+    assert symbols.shape == (n,)
+    lib = _native_lib()
+    if lib is None:
+        return _py_encode(symbols, cdf_q)
+    out = np.empty(4 * n + 64, np.uint8)
+    written = lib.rans_encode(
+        symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cdf_q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        n, kp1, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size)
+    if written < 0:
+        raise ValueError(f"rans_encode failed: {written}")
+    return out[:written].tobytes()
+
+
+def decode_with_cdf(data: bytes, cdf_float: np.ndarray) -> np.ndarray:
+    """bitstream + the same CDF rows -> symbols int32 [N]."""
+    cdf_q = np.ascontiguousarray(quantize_cdf(cdf_float))
+    n, kp1 = cdf_q.shape
+    lib = _native_lib()
+    if lib is None:
+        return _py_decode(data, cdf_q, n)
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(n, np.int32)
+    rc = lib.rans_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        cdf_q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        n, kp1, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise ValueError(f"rans_decode failed: {rc}")
+    return out
+
+
+try:
+    from scipy.special import ndtr as _norm_cdf          # Phi(z)
+except Exception:                                        # pragma: no cover
+    def _norm_cdf(z):
+        v = np.vectorize(lambda t: 0.5 * (1.0 + math.erf(t / math.sqrt(2))))
+        return v(z)
+
+
+def _gaussian_cdf_rows(mean, scale, q, min_v: int, max_v: int):
+    """CDF rows over integer symbols [min_v, max_v] for round(x/Q) coding
+    (reference encoder_gaussian, encodings.py:84-114)."""
+    mean = np.asarray(mean, np.float64).ravel()
+    scale = np.maximum(np.asarray(scale, np.float64).ravel(), 1e-9)
+    q = np.asarray(q, np.float64).ravel()
+    samples = np.arange(min_v, max_v + 2, dtype=np.float64)  # K+1 edges
+    edges = (samples[None, :] - 0.5) * q[:, None]
+    z = (edges - mean[:, None]) / scale[:, None]
+    return _norm_cdf(z)
+
+
+def encode_gaussian(x, mean, scale, q):
+    """Quantize x to round(x/Q) and code with the gaussian model.
+
+    Returns (bytes, min_v, max_v). Mirrors encoder_gaussian
+    (encodings.py:84-114)."""
+    x = np.asarray(x, np.float64).ravel()
+    q_arr = np.broadcast_to(np.asarray(q, np.float64).ravel(), x.shape)
+    sym_val = np.round(x / q_arr).astype(np.int64)
+    min_v, max_v = int(sym_val.min()), int(sym_val.max())
+    cdf = _gaussian_cdf_rows(mean, scale, q_arr, min_v, max_v)
+    data = encode_with_cdf((sym_val - min_v).astype(np.int32), cdf)
+    return data, min_v, max_v
+
+
+def decode_gaussian(data, mean, scale, q, min_v: int, max_v: int):
+    """Inverse of encode_gaussian -> dequantized float64 values."""
+    mean = np.asarray(mean, np.float64).ravel()
+    q_arr = np.broadcast_to(np.asarray(q, np.float64).ravel(), mean.shape)
+    cdf = _gaussian_cdf_rows(mean, scale, q_arr, min_v, max_v)
+    sym = decode_with_cdf(data, cdf).astype(np.int64) + min_v
+    return sym.astype(np.float64) * q_arr
+
+
+def encode_binary(x, p_one) -> bytes:
+    """Bernoulli-code a {-1,+1} (or {0,1}) array given P(one).
+
+    Mirrors the reference's encoder (encodings.py:141-157): symbol =
+    floor((x+1)/2) with cdf rows [0, 1-p, 1]."""
+    x = np.asarray(x).ravel()
+    sym = (x > 0).astype(np.int32)
+    p = np.broadcast_to(np.asarray(p_one, np.float64), x.shape).ravel()
+    cdf = np.stack([np.zeros_like(p), 1.0 - p, np.ones_like(p)], -1)
+    return encode_with_cdf(sym, cdf)
+
+
+def decode_binary(data, p_one, n: int, as_pm1: bool = True) -> np.ndarray:
+    p = np.broadcast_to(np.asarray(p_one, np.float64), (n,)).ravel()
+    cdf = np.stack([np.zeros_like(p), 1.0 - p, np.ones_like(p)], -1)
+    sym = decode_with_cdf(data, cdf)
+    return (sym * 2 - 1).astype(np.float32) if as_pm1 \
+        else sym.astype(np.float32)

@@ -54,7 +54,8 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
            bg: jnp.ndarray | None = None,
            visible: jnp.ndarray | None = None,
            mean2d_offset: jnp.ndarray | None = None,
-           tile_capacity: int | None = None) -> RenderResult:
+           tile_capacity: int | None = None,
+           tile_sharding=None) -> RenderResult:
     """Render one view. ``mean2d_offset`` is a zeros [C*K, 2] input whose
     gradient equals dL/dmean2d in pixel units — the functional analog of the
     reference's retain_grad screenspace_points (gaussian_renderer:224-229),
@@ -75,6 +76,7 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
     out, bins = rasterize_tiles(
         proj, dec.color, dec.opacity, bg,
         intr.width, intr.height, tile=cfg.tile_size,
-        tile_capacity=tile_capacity or cfg.max_splats_per_tile)
+        tile_capacity=tile_capacity or cfg.max_splats_per_tile,
+        tile_sharding=tile_sharding)
     return RenderResult(out=out, dec=dec, rate=rate, proj=proj,
                         tile_overflow=bins.tile_overflow)

@@ -70,9 +70,15 @@ def quantize_anchor(anchors: jnp.ndarray, min_v: jnp.ndarray,
     Returns (anchors_q, quantized_int). Matches Quantize_anchor
     (encodings.py:215-227): floor division by the interval, clamped to the
     16-bit code range; straight-through gradient to ``anchors`` only.
+
+    The floor gets a 0.02-cell nudge so quantization is IDEMPOTENT: a
+    reconstructed value q*interval+min re-quantizes to exactly q despite
+    f32 cancellation error (up to ~0.005 cells at q near 2^16; the codec
+    re-encode path depends on this; the boundary shift vs the reference is
+    2% of one 16-bit cell).
     """
     interval = (max_v - min_v) * Q_ANCHOR + 1e-6
-    q = jnp.floor((anchors - min_v) / interval)
+    q = jnp.floor((anchors - min_v) / interval + 0.02)
     q = jnp.clip(q, 0, 2 ** ANCHOR_ROUND_DIGITS - 1)
     return q * interval + min_v, q
 

@@ -78,6 +78,23 @@ def tile_blend(tile: int, gx: int, gy: int, W: int, H: int,
     return out
 
 
+BLEND_CHUNK = 16
+
+
+def _chunk_size(cap: int) -> int:
+    ch = min(BLEND_CHUNK, cap)
+    while cap % ch:
+        ch -= 1
+    return ch
+
+
+def _chunk(x, cap):
+    """[T, cap, ...] -> [cap//CH, CH, T, ...] scan layout."""
+    ch = _chunk_size(cap)
+    x = jnp.moveaxis(x, 1, 0)                             # [cap, T, ...]
+    return x.reshape((cap // ch, ch) + x.shape[1:]), ch
+
+
 def _blend_fwd_impl(tile, gx, gy, W, H, mean2d, conic, depth, color, opac,
                     bg, entries, entry_mask):
     num_tiles, cap = entries.shape
@@ -91,26 +108,40 @@ def _blend_fwd_impl(tile, gx, gy, W, H, mean2d, conic, depth, color, opac,
     cl = color[entries]           # [T, cap, 3]
     op = opac[entries]            # [T, cap]
 
+    # scan over chunks of splats; the within-chunk recurrence is unrolled so
+    # XLA fuses ~CH splat updates per loop iteration (the rolled 1-splat
+    # scan was loop-overhead-bound on TPU).
+    xs_m2, ch = _chunk(m2, cap)
+    xs_co, _ = _chunk(co, cap)
+    xs_de, _ = _chunk(de, cap)
+    xs_cl, _ = _chunk(cl, cap)
+    xs_op, _ = _chunk(op, cap)
+    xs_mk, _ = _chunk(entry_mask, cap)
+    ks = jnp.arange(cap // ch, dtype=jnp.int32) * ch
+
     def step(carry, inp):
         T, C, D, acc, done, ncon = carry
-        m2k, cok, dek, clk, opk, mk, k = inp
-        dx = m2k[:, 0:1] - pxg                            # [T, P]
-        dy = m2k[:, 1:2] - pyg
-        power = (-0.5 * (cok[:, 0:1] * dx * dx + cok[:, 2:3] * dy * dy)
-                 - cok[:, 1:2] * dx * dy)
-        alpha = jnp.minimum(ALPHA_MAX, opk[:, None] * jnp.exp(power))
-        contrib = (mk[:, None] & (power <= 0.0) & (alpha >= ALPHA_MIN)
-                   & ~done)
-        test_T = T * (1.0 - alpha)
-        terminate = contrib & (test_T < T_EPS)
-        blend = contrib & ~terminate
-        done = done | terminate
-        w = jnp.where(blend, alpha * T, 0.0)
-        C = C + w[..., None] * clk[:, None, :]
-        D = D + w * dek[:, None]
-        acc = acc + w
-        T = jnp.where(blend, test_T, T)
-        ncon = jnp.where(blend, k + 1, ncon)
+        m2k, cok, dek, clk, opk, mk, k0 = inp
+        for j in range(ch):
+            dx = m2k[j, :, 0:1] - pxg                     # [T, P]
+            dy = m2k[j, :, 1:2] - pyg
+            power = (-0.5 * (cok[j, :, 0:1] * dx * dx
+                             + cok[j, :, 2:3] * dy * dy)
+                     - cok[j, :, 1:2] * dx * dy)
+            alpha = jnp.minimum(ALPHA_MAX,
+                                opk[j, :, None] * jnp.exp(power))
+            contrib = (mk[j, :, None] & (power <= 0.0)
+                       & (alpha >= ALPHA_MIN) & ~done)
+            test_T = T * (1.0 - alpha)
+            terminate = contrib & (test_T < T_EPS)
+            blend = contrib & ~terminate
+            done = done | terminate
+            w = jnp.where(blend, alpha * T, 0.0)
+            C = C + w[..., None] * clk[j, :, None, :]
+            D = D + w * dek[j, :, None]
+            acc = acc + w
+            T = jnp.where(blend, test_T, T)
+            ncon = jnp.where(blend, k0 + j + 1, ncon)
         return (T, C, D, acc, done, ncon), None
 
     T0 = jnp.ones((num_tiles, P), jnp.float32)
@@ -119,12 +150,9 @@ def _blend_fwd_impl(tile, gx, gy, W, H, mean2d, conic, depth, color, opac,
     a0 = jnp.full((num_tiles, P), ACC_SEED, jnp.float32)
     d0 = jnp.zeros((num_tiles, P), bool)
     n0 = jnp.zeros((num_tiles, P), jnp.int32)
-    ks = jnp.arange(cap, dtype=jnp.int32)
     (Tf, C, D, acc, _, ncon), _ = lax.scan(
         step, (T0, C0, D0, a0, d0, n0),
-        (jnp.moveaxis(m2, 1, 0), jnp.moveaxis(co, 1, 0),
-         jnp.moveaxis(de, 1, 0), jnp.moveaxis(cl, 1, 0),
-         jnp.moveaxis(op, 1, 0), jnp.moveaxis(entry_mask, 1, 0), ks))
+        (xs_m2, xs_co, xs_de, xs_cl, xs_op, xs_mk, ks))
 
     out_color_t = C + Tf[..., None] * bg
     out_depth_t = jnp.where(acc > ACC_GATE, D / acc, 0.0)
@@ -174,85 +202,99 @@ def _blend_bwd(tile, gx, gy, W, H, saved, g: RenderOutput):
 
     bg_dot = jnp.einsum('tpc,c->tp', u_rgb, bg)              # [T, P]
 
+    xs_m2, ch = _chunk(m2, cap)
+    xs_co, _ = _chunk(co, cap)
+    xs_de, _ = _chunk(de, cap)
+    xs_cl, _ = _chunk(cl, cap)
+    xs_op, _ = _chunk(op, cap)
+    xs_mk, _ = _chunk(entry_mask, cap)
+    ks = jnp.arange(cap // ch, dtype=jnp.int32) * ch
+
     def step(carry, inp):
         T, accum_rec, last_alpha, last_vals = carry
-        m2k, cok, dek, clk, opk, mk, k = inp
-        dx = m2k[:, 0:1] - pxg
-        dy = m2k[:, 1:2] - pyg
-        power = (-0.5 * (cok[:, 0:1] * dx * dx + cok[:, 2:3] * dy * dy)
-                 - cok[:, 1:2] * dx * dy)
-        G = jnp.exp(power)
-        oG = opk[:, None] * G
-        alpha = jnp.minimum(ALPHA_MAX, oG)
-        blended = (mk[:, None] & (power <= 0.0) & (alpha >= ALPHA_MIN)
-                   & (k < ncon))
+        m2k, cok, dek, clk, opk, mk, k0 = inp
+        outs = [None] * ch
+        for j in reversed(range(ch)):
+            dx = m2k[j, :, 0:1] - pxg
+            dy = m2k[j, :, 1:2] - pyg
+            power = (-0.5 * (cok[j, :, 0:1] * dx * dx
+                             + cok[j, :, 2:3] * dy * dy)
+                     - cok[j, :, 1:2] * dx * dy)
+            G = jnp.exp(power)
+            oG = opk[j, :, None] * G
+            alpha = jnp.minimum(ALPHA_MAX, oG)
+            blended = (mk[j, :, None] & (power <= 0.0)
+                       & (alpha >= ALPHA_MIN) & (k0 + j < ncon))
 
-        T = jnp.where(blended, T / (1.0 - alpha), T)
-        w = jnp.where(blended, alpha * T, 0.0)               # [T, P]
+            T = jnp.where(blended, T / (1.0 - alpha), T)
+            w = jnp.where(blended, alpha * T, 0.0)           # [T, P]
 
-        # channel values of this splat: (rgb, depth, 1)
-        vals = jnp.concatenate(
-            [jnp.broadcast_to(clk[:, None, :], (num_tiles, P, 3)),
-             jnp.broadcast_to(dek[:, None, None], (num_tiles, P, 1)),
-             jnp.ones((num_tiles, P, 1), jnp.float32)], -1)   # [T, P, 5]
+            # channel values of this splat: (rgb, depth, 1)
+            vals = jnp.concatenate(
+                [jnp.broadcast_to(clk[j, :, None, :], (num_tiles, P, 3)),
+                 jnp.broadcast_to(dek[j, :, None, None], (num_tiles, P, 1)),
+                 jnp.ones((num_tiles, P, 1), jnp.float32)], -1)  # [T, P, 5]
 
-        # suffix accumulator: what is blended BEHIND this splat
-        accum_rec = jnp.where(
-            blended[..., None],
-            last_alpha[..., None] * last_vals
-            + (1.0 - last_alpha[..., None]) * accum_rec,
-            accum_rec)
-        dL_dalpha = jnp.sum((vals - accum_rec) * u, -1)      # [T, P]
-        dL_dalpha = dL_dalpha * T
-        # background shows through less when alpha grows
-        dL_dalpha = dL_dalpha + jnp.where(
-            blended, (-Tf / (1.0 - alpha)) * (bg_dot + g_finalT), 0.0)
-        dL_dalpha = jnp.where(blended, dL_dalpha, 0.0)
+            # suffix accumulator: what is blended BEHIND this splat
+            accum_rec = jnp.where(
+                blended[..., None],
+                last_alpha[..., None] * last_vals
+                + (1.0 - last_alpha[..., None]) * accum_rec,
+                accum_rec)
+            dL_dalpha = jnp.sum((vals - accum_rec) * u, -1)  # [T, P]
+            dL_dalpha = dL_dalpha * T
+            # background shows through less when alpha grows
+            dL_dalpha = dL_dalpha + jnp.where(
+                blended, (-Tf / (1.0 - alpha)) * (bg_dot + g_finalT), 0.0)
+            dL_dalpha = jnp.where(blended, dL_dalpha, 0.0)
 
-        # per-splat channel grads, reduced over pixels immediately
-        d_color_k = jnp.einsum('tp,tpc->tc', w, u_rgb)       # [T, 3]
-        d_depth_k = jnp.sum(w * u_d, -1)                     # [T]
+            # per-splat channel grads, reduced over pixels immediately
+            d_color_k = jnp.einsum('tp,tpc->tc', w, u_rgb)   # [T, 3]
+            d_depth_k = jnp.sum(w * u_d, -1)                 # [T]
 
-        unclamped = oG < ALPHA_MAX
-        dL_dG = jnp.where(unclamped, opk[:, None], 0.0) * dL_dalpha
-        d_opac_k = jnp.sum(jnp.where(unclamped, G, 0.0) * dL_dalpha, -1)
+            unclamped = oG < ALPHA_MAX
+            dL_dG = jnp.where(unclamped, opk[j, :, None], 0.0) * dL_dalpha
+            d_opac_k = jnp.sum(jnp.where(unclamped, G, 0.0) * dL_dalpha, -1)
 
-        gdx = G * dx
-        gdy = G * dy
-        # dG/dmean_x = G * (-a*dx - b*dy); dG/dmean_y = G * (-c*dy - b*dx)
-        d_mean2d_k = jnp.stack([
-            jnp.sum(dL_dG * (-gdx * cok[:, 0:1] - gdy * cok[:, 1:2]), -1),
-            jnp.sum(dL_dG * (-gdy * cok[:, 2:3] - gdx * cok[:, 1:2]), -1),
-        ], -1)
-        d_conic_k = jnp.stack([
-            jnp.sum(-0.5 * gdx * dx * dL_dG, -1),
-            jnp.sum(-gdx * dy * dL_dG, -1),
-            jnp.sum(-0.5 * gdy * dy * dL_dG, -1),
-        ], -1)
+            gdx = G * dx
+            gdy = G * dy
+            # dG/dmean_x = G*(-a*dx - b*dy); dG/dmean_y = G*(-c*dy - b*dx)
+            d_mean2d_k = jnp.stack([
+                jnp.sum(dL_dG * (-gdx * cok[j, :, 0:1]
+                                 - gdy * cok[j, :, 1:2]), -1),
+                jnp.sum(dL_dG * (-gdy * cok[j, :, 2:3]
+                                 - gdx * cok[j, :, 1:2]), -1),
+            ], -1)
+            d_conic_k = jnp.stack([
+                jnp.sum(-0.5 * gdx * dx * dL_dG, -1),
+                jnp.sum(-gdx * dy * dL_dG, -1),
+                jnp.sum(-0.5 * gdy * dy * dL_dG, -1),
+            ], -1)
 
-        # bookkeeping for next (earlier) splat
-        last_vals = jnp.where(blended[..., None], vals, last_vals)
-        last_alpha = jnp.where(blended, alpha, last_alpha)
-        return ((T, accum_rec, last_alpha, last_vals),
-                (d_mean2d_k, d_conic_k, d_depth_k, d_color_k, d_opac_k))
+            # bookkeeping for next (earlier) splat
+            last_vals = jnp.where(blended[..., None], vals, last_vals)
+            last_alpha = jnp.where(blended, alpha, last_alpha)
+            outs[j] = (d_mean2d_k, d_conic_k, d_depth_k, d_color_k,
+                       d_opac_k)
+        ys = tuple(jnp.stack([o[q] for o in outs])          # [CH, T, ...]
+                   for q in range(5))
+        return (T, accum_rec, last_alpha, last_vals), ys
 
-    ks = jnp.arange(cap, dtype=jnp.int32)
     carry0 = (Tf,
               jnp.zeros((num_tiles, P, 5), jnp.float32),
               jnp.zeros((num_tiles, P), jnp.float32),
               jnp.zeros((num_tiles, P, 5), jnp.float32))
-    xs = (jnp.moveaxis(m2, 1, 0), jnp.moveaxis(co, 1, 0),
-          jnp.moveaxis(de, 1, 0), jnp.moveaxis(cl, 1, 0),
-          jnp.moveaxis(op, 1, 0), jnp.moveaxis(entry_mask, 1, 0), ks)
+    xs = (xs_m2, xs_co, xs_de, xs_cl, xs_op, xs_mk, ks)
     _, ys = lax.scan(step, carry0, xs, reverse=True)
-    d_mean2d_s, d_conic_s, d_depth_s, d_color_s, d_opac_s = ys
-    # ys leading axis is cap; flatten (cap, T) -> pair list aligned w/ entries
+    # ys: [cap//CH, CH, T, ...] -> flatten to pair list aligned w/ entries.T
+    d_mean2d_s, d_conic_s, d_depth_s, d_color_s, d_opac_s = (
+        y.reshape((cap * num_tiles,) + y.shape[3:]) for y in ys)
     seg = entries.T.reshape(-1)                              # [cap*T]
-    d_mean2d = jax.ops.segment_sum(d_mean2d_s.reshape(-1, 2), seg, n)
-    d_conic = jax.ops.segment_sum(d_conic_s.reshape(-1, 3), seg, n)
-    d_depth = jax.ops.segment_sum(d_depth_s.reshape(-1), seg, n)
-    d_color = jax.ops.segment_sum(d_color_s.reshape(-1, 3), seg, n)
-    d_opac = jax.ops.segment_sum(d_opac_s.reshape(-1), seg, n)
+    d_mean2d = jax.ops.segment_sum(d_mean2d_s, seg, n)
+    d_conic = jax.ops.segment_sum(d_conic_s, seg, n)
+    d_depth = jax.ops.segment_sum(d_depth_s, seg, n)
+    d_color = jax.ops.segment_sum(d_color_s, seg, n)
+    d_opac = jax.ops.segment_sum(d_opac_s, seg, n)
 
     d_bg = jnp.einsum('tp,tpc->c', Tf, u_rgb)
 
@@ -272,8 +314,15 @@ def rasterize_tiles(proj: ProjectedSplats,
                     W: int, H: int,
                     tile: int = 16,
                     pair_capacity: int | None = None,
-                    tile_capacity: int = 1024) -> tuple[RenderOutput, TileBins]:
-    """Bin + blend. Binning indices carry no gradients (stop_gradient)."""
+                    tile_capacity: int = 1024,
+                    tile_sharding=None) -> tuple[RenderOutput, TileBins]:
+    """Bin + blend. Binning indices carry no gradients (stop_gradient).
+
+    ``tile_sharding``: optional NamedSharding whose leading axis shards the
+    tile grid over a mesh axis — XLA then partitions the blend scan and
+    inserts the splat all-gathers over ICI (the sequence-parallel analog
+    for splatting; SURVEY.md section 2.5).
+    """
     n = proj.mean2d.shape[0]
     gx, gy = (-(-W // tile), -(-H // tile))
     if pair_capacity is None:
@@ -281,6 +330,11 @@ def rasterize_tiles(proj: ProjectedSplats,
     bins = bin_splats(
         ProjectedSplats(*(lax.stop_gradient(x) for x in proj)),
         W, H, tile, pair_capacity, tile_capacity)
+    if tile_sharding is not None:
+        bins = bins._replace(
+            entries=lax.with_sharding_constraint(bins.entries, tile_sharding),
+            entry_mask=lax.with_sharding_constraint(bins.entry_mask,
+                                                    tile_sharding))
     # neutralize contributions of invalid splats (mirrors radius-0 cull)
     opac_eff = jnp.where(proj.valid, opacities, 0.0)
     out = tile_blend(tile, gx, gy, W, H, proj.mean2d, proj.conic, proj.depth,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -40,6 +41,13 @@ class TileBins(NamedTuple):
 
 def tile_grid(W: int, H: int, tile: int) -> tuple[int, int]:
     return (-(-W // tile), -(-H // tile))
+
+
+def pltpu_bitcast_f32_to_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> raw bits; order-preserving for positive floats (the CUDA
+    binning packs depth float bits into its sort key the same way,
+    rasterizer_impl.cu:70-111)."""
+    return lax.bitcast_convert_type(x, jnp.int32)
 
 
 def compute_tile_rects(proj: ProjectedSplats, W: int, H: int, tile: int):
@@ -72,31 +80,66 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
             tile_overflow=jnp.int32(0))
 
     x0, y0, x1, _y1, touched = compute_tile_rects(proj, W, H, tile)
-    offsets = jnp.cumsum(touched)                      # inclusive
-    total = offsets[-1] if n > 0 else jnp.int32(0)
+    # f32 scans: integer scans are slow on the TPU VPU, and every quantity
+    # here fits exactly in f32 (counts < 2^24)
+    offsets = jnp.cumsum(touched.astype(jnp.float32)).astype(jnp.int32)
+    total = offsets[-1]
     starts = offsets - touched                         # exclusive cumsum
 
-    # pair slot k -> owning gaussian: first index with inclusive-cumsum > k
+    # pair slot k -> owning gaussian. Equivalent to
+    # searchsorted(offsets, k, 'right') but O(P) scatter + cummax instead of
+    # P binary searches (searchsorted was ~100ms at 800K pairs on TPU):
+    # drop a marker (gauss_id + 1) at each gaussian's start slot and take
+    # the running max; slots before the first marker clamp to gaussian 0.
+    gid = jnp.arange(n, dtype=jnp.int32)
+    markers = jnp.zeros((pair_capacity,), jnp.float32).at[
+        jnp.where(touched > 0, starts, pair_capacity)].max(
+        (gid + 1).astype(jnp.float32), mode='drop')
+    gauss_c = jnp.maximum(
+        jax.lax.cummax(markers).astype(jnp.int32) - 1, 0)
+
+    # one packed gather for all per-gaussian pair data (5 separate row
+    # gathers cost ~4x more than one 5-column gather at this size)
+    width = jnp.maximum(x1 - x0, 1)
+    packed = jnp.stack(
+        [starts, x0, y0, width,
+         pltpu_bitcast_f32_to_i32(proj.depth)], -1)     # [n, 5] int32
+    pg = packed[gauss_c]                                # [P_cap, 5]
+
     k = jnp.arange(pair_capacity, dtype=jnp.int32)
-    gauss = jnp.searchsorted(offsets, k, side='right').astype(jnp.int32)
-    gauss_c = jnp.minimum(gauss, max(n - 1, 0))
-    local = k - starts[gauss_c]
-    width = jnp.maximum(x1[gauss_c] - x0[gauss_c], 1)
-    tx = x0[gauss_c] + local % width
-    ty = y0[gauss_c] + local // width
+    local = k - pg[:, 0]
+    w = pg[:, 3]
+    # local // width via exact float-reciprocal trick (integer div lowers
+    # to a slow VPU loop): local <= ~2^13, width <= 2^7 => f32 exact with a
+    # 2^-10 nudge (error < 2^-9 < min fraction 1/width)
+    q = jnp.floor(local.astype(jnp.float32)
+                  * (1.0 / w.astype(jnp.float32))
+                  + 0.0009765625).astype(jnp.int32)
+    tx = pg[:, 1] + (local - q * w)
+    ty = pg[:, 2] + q
     pair_valid = k < total
     tile_id = jnp.where(pair_valid, ty * gx + tx, num_tiles).astype(jnp.int32)
-    depth = jnp.where(pair_valid, proj.depth[gauss_c], jnp.inf)
+    # sort by (tile, depth): depth compared via its f32 bit pattern, which
+    # is order-preserving for the positive depths that survive culling
+    depth_bits = jnp.where(pair_valid, pg[:, 4], jnp.int32(0x7F800000))
 
     # stable two-key sort: (tile, depth); ties keep pair order (gaussian id).
     tile_s, _depth_s, gauss_s = lax.sort(
-        (tile_id, depth.astype(jnp.float32), gauss_c), num_keys=2,
-        is_stable=True)
+        (tile_id, depth_bits, gauss_c), num_keys=2, is_stable=True)
 
-    # tile ranges in the sorted pair list
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    t_start = jnp.searchsorted(tile_s, tids, side='left').astype(jnp.int32)
-    t_end = jnp.searchsorted(tile_s, tids, side='right').astype(jnp.int32)
+    # tile ranges: scatter the first-occurrence pair index of each tile id,
+    # then a reverse cummin fills empty tiles with the next tile's start
+    # (searchsorted over the pair list cost ~6ms; this is O(P) + O(tiles))
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), tile_s[1:] != tile_s[:-1]])
+    t_first = jnp.full((num_tiles + 1,), jnp.float32(pair_capacity)).at[
+        jnp.where(first, tile_s, num_tiles + 1)].min(
+        k.astype(jnp.float32), mode='drop')
+    t_first = t_first.at[num_tiles].min(
+        jnp.minimum(total, pair_capacity).astype(jnp.float32))
+    bounds = lax.cummin(t_first[::-1])[::-1].astype(jnp.int32)
+    t_start = bounds[:num_tiles]
+    t_end = bounds[1:]
 
     # fixed-capacity gather per tile
     c = jnp.arange(tile_capacity, dtype=jnp.int32)

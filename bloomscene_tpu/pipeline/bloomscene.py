@@ -1,0 +1,185 @@
+"""BloomScene orchestrator: text+image -> trained, compressed 3D scene.
+
+The TPU equivalent of the reference's BloomScene class (bloomscene.py:34-425):
+``create()`` runs progressive generation + scene assembly + the 2990-step
+optimization; ``render_video()`` renders the 180-frame preset orbit (RGB +
+colorized depth); ``save_outputs()`` writes PLY/checkpoint/bitstreams and
+eval renders; the codec round trip runs at the end of training like the
+reference's training_report (bloomscene.py:364-382).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.codec import decode_scene, encode_scene, estimate_final_bits
+from ..config import CameraConfig, GSConfig
+from ..models.anchors import update_anchor_bounds
+from ..models.model import Model, init_model
+from ..models.render import prefilter_anchors, render
+from ..priors import (DepthPrior, InpaintPrior, StubDepthPrior,
+                      StubInpaintPrior)
+from ..scene.dataset import SceneData, read_scene_data
+from ..train.loop import Trainer
+from ..utils import io as io_utils
+from ..utils.depthviz import colorize
+from ..utils.metrics import evaluate_renders
+from . import pcdgen
+
+
+class BloomScene:
+    """End-to-end scene generation + optimization + compression."""
+
+    def __init__(self, save_dir: str, cfg: Optional[GSConfig] = None,
+                 cam: Optional[CameraConfig] = None,
+                 inpaint_prior: Optional[InpaintPrior] = None,
+                 depth_prior: Optional[DepthPrior] = None,
+                 seed: int = 1):
+        self.save_dir = save_dir
+        self.cfg = cfg or GSConfig()
+        self.cam = cam or CameraConfig()
+        self.inpaint = inpaint_prior or StubInpaintPrior()
+        self.depth = depth_prior or StubDepthPrior()
+        self.seed = seed
+        self.traindata: Optional[dict] = None
+        self.scene: Optional[SceneData] = None
+        self.model: Optional[Model] = None
+        self.trainer: Optional[Trainer] = None
+        self.logs: list[dict] = []
+        os.makedirs(save_dir, exist_ok=True)
+
+    # ---- stage 1: progressive generation ----
+    def generate(self, rgb_cond: np.ndarray, prompt: str,
+                 negative_prompt: str = "", pcdgenpath: str = 'rotate360',
+                 diff_steps: int = 50, verbose: bool = True) -> dict:
+        self.traindata = pcdgen.generate_pcd(
+            rgb_cond, prompt, negative_prompt, pcdgenpath, self.seed,
+            diff_steps, self.cam, self.inpaint, self.depth,
+            save_ply_path=os.path.join(self.save_dir, 'point_cloud.ply'),
+            progress=(print if verbose else None))
+        self.scene = read_scene_data(self.traindata,
+                                     self.cfg.white_background)
+        return self.traindata
+
+    # ---- stage 2: optimization ----
+    def training(self, iterations: Optional[int] = None,
+                 log_every: int = 100, callback=None) -> Model:
+        assert self.scene is not None, "generate() (or load a scene) first"
+        model, voxel_size = init_model(
+            jax.random.PRNGKey(self.seed), self.scene.points, self.cfg)
+        cam0 = self.scene.train_cameras[0]
+        views = [(c.device_arrays(), jnp.asarray(c.image),
+                  jnp.asarray(c.depth if c.depth is not None
+                              else np.zeros((c.height, c.width),
+                                            np.float32)))
+                 for c in self.scene.train_cameras]
+        self.trainer = Trainer(model, self.cfg, cam0.intrinsics, voxel_size,
+                               spatial_lr_scale=self.scene.radius,
+                               seed=self.seed)
+        self.model = self.trainer.run(views, iterations=iterations,
+                                      log_every=log_every,
+                                      callback=callback)
+        self.logs = self.trainer.history
+        return self.model
+
+    # ---- stage 3: compression round trip ----
+    def compress(self) -> dict:
+        assert self.model is not None
+        path = os.path.join(self.save_dir, 'bitstreams')
+        est = estimate_final_bits(self.model, self.cfg)
+        sizes = encode_scene(self.model, self.cfg, path)
+        t0 = time.time()
+        decoded = decode_scene(self.model, self.cfg, path)
+        sizes['decode_time_s'] = time.time() - t0
+        sizes['estimated'] = est
+        self.decoded_model = decoded
+        with open(os.path.join(self.save_dir, 'codec_sizes.json'),
+                  'w') as f:
+            json.dump(sizes, f, indent=2)
+        return sizes
+
+    # ---- rendering ----
+    def _render_model(self, model: Model, cameras, mode: str = 'eval'):
+        frames_rgb, frames_depth = [], []
+        intr = cameras[0].intrinsics
+        rfun = jax.jit(
+            lambda m, c: render(m, intr, c, self.cfg, phase=0, mode=mode),
+            static_argnames=())
+        times = []
+        for cam in cameras:
+            arrs = cam.device_arrays()
+            t0 = time.time()
+            res = rfun(model, arrs)
+            jax.block_until_ready(res.out.color)
+            times.append(time.time() - t0)
+            frames_rgb.append(np.clip(np.asarray(res.out.color), 0, 1))
+            frames_depth.append(np.asarray(res.out.depth))
+        fps = 1.0 / np.mean(times[5:]) if len(times) > 5 else \
+            1.0 / max(np.mean(times), 1e-9)
+        return frames_rgb, frames_depth, float(fps)
+
+    def render_video(self, preset: str = 'rotate360',
+                     use_decoded: bool = False) -> dict:
+        model = self.decoded_model if use_decoded else self.model
+        mode = 'decoded' if use_decoded else 'eval'
+        cams = self.scene.preset_cameras[preset]
+        rgb, dep, fps = self._render_model(model, cams, mode=mode)
+        io_utils.write_video(
+            os.path.join(self.save_dir, f'{preset}.mp4'), rgb)
+        dmin = min(d.min() for d in dep)
+        dmax = max(d.max() for d in dep)
+        dep_rgb = [colorize(d, vmin=dmin, vmax=dmax)[..., :3] / 255.0
+                   for d in dep]
+        io_utils.write_video(
+            os.path.join(self.save_dir, f'{preset}_depth.mp4'), dep_rgb)
+        return {'eval_fps': fps, 'n_frames': len(rgb)}
+
+    def render_eval(self, prompt: str = "") -> dict:
+        """Noisy-pose eval renders + no-reference metrics
+        (render_sets + metrics, bloomscene.py:385-421, run.py:109-111)."""
+        cams = self.scene.eval_cameras or self.scene.train_cameras
+        rgb, _, fps = self._render_model(self.model, cams)
+        out_dir = os.path.join(self.save_dir, 'eval_renders')
+        os.makedirs(out_dir, exist_ok=True)
+        try:
+            import imageio.v2 as imageio
+            for i, im in enumerate(rgb):
+                imageio.imwrite(os.path.join(out_dir, f'{i:03d}.png'),
+                                (im * 255).astype(np.uint8))
+        except Exception:
+            pass
+        metrics = evaluate_renders(rgb, prompt)
+        metrics['eval_fps'] = fps
+        with open(os.path.join(self.save_dir, 'metrics.json'), 'w') as f:
+            json.dump(metrics, f, indent=2)
+        return metrics
+
+    # ---- persistence ----
+    def save_outputs(self):
+        assert self.model is not None
+        io_utils.save_anchor_ply(
+            os.path.join(self.save_dir, 'gsplat.ply'), self.model.state)
+        io_utils.save_checkpoint(
+            os.path.join(self.save_dir, 'checkpoint.npz'),
+            {'heads': self.model.heads, 'grid': self.model.grid,
+             'bounds': self.model.bounds})
+        with open(os.path.join(self.save_dir, 'train_log.json'), 'w') as f:
+            json.dump(self.logs, f)
+
+    # ---- the full reference flow (create + video + eval) ----
+    def create(self, rgb_cond: np.ndarray, prompt: str,
+               negative_prompt: str = "", pcdgenpath: str = 'rotate360',
+               diff_steps: int = 50, iterations: Optional[int] = None):
+        """bloomscene.create equivalent (bloomscene.py:152-159)."""
+        self.generate(rgb_cond, prompt, negative_prompt, pcdgenpath,
+                      diff_steps)
+        self.training(iterations=iterations)
+        self.compress()
+        self.save_outputs()
+        return self

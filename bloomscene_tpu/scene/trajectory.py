@@ -1,0 +1,82 @@
+"""Camera trajectory generators (reference utils/trajectory.py).
+
+Poses are [N, 3, 4] world->camera ("render pose") matrices in the
+LucidDreamer convention; ``camera_paths`` converts the 180-frame presets to
+camera-to-world NeRF-style matrices exactly like get_camerapaths
+(trajectory.py:102-126).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# shuffled generation order for the 10 rotate360 views (trajectory.py:29)
+ROT360_TH_ORDER = (0, 1, 9, 2, 8, 3, 7, 4, 6, 5)
+
+
+def seed_360(viewangle: float, n_views: int,
+             shuffled: bool = False) -> np.ndarray:
+    """Yaw-only orbit poses; ``shuffled`` uses the reference's interleaved
+    generation order (my_generate_seed_360, trajectory.py:26-35)."""
+    poses = np.zeros((n_views, 3, 4))
+    order = ROT360_TH_ORDER if shuffled else range(n_views)
+    for i, o in zip(range(n_views), order):
+        th = (viewangle / n_views) * o / 180 * np.pi
+        poses[i, :3, :3] = np.array([[np.cos(th), 0, np.sin(th)],
+                                     [0, 1, 0],
+                                     [-np.sin(th), 0, np.cos(th)]])
+    return poses
+
+
+def seed_hemisphere(center_depths, degree: float = 5.0) -> np.ndarray:
+    """5 jitter poses per center depth, pivoting about the scene point at
+    ``d`` in front of the camera (my_generate_seed_hemisphere,
+    trajectory.py:71-89)."""
+    center_depths = np.atleast_1d(np.asarray(center_depths, np.float64))
+    thlist = np.array([degree, 0, 0, 0, -degree])
+    philist = np.array([0, -degree, 0, degree, 0])
+    poses = np.zeros((len(thlist) * len(center_depths), 3, 4))
+    for j, d in enumerate(center_depths):
+        for i, (th, phi) in enumerate(zip(thlist, philist)):
+            thr = th / 180 * np.pi
+            phr = phi / 180 * np.pi
+            Ry = np.array([[np.cos(thr), 0, -np.sin(thr)],
+                           [0, 1, 0],
+                           [np.sin(thr), 0, np.cos(thr)]])
+            Rx = np.array([[1, 0, 0],
+                           [0, np.cos(phr), -np.sin(phr)],
+                           [0, np.sin(phr), np.cos(phr)]])
+            idx = j * len(thlist) + i
+            poses[idx, :3, :3] = Ry @ Rx
+            poses[idx, :3, 3] = (
+                np.array([d * np.sin(thr), 0, d - d * np.cos(thr)])
+                + np.array([0, d * np.sin(phr), d - d * np.cos(phr)]))
+    return poses
+
+
+def get_pcd_gen_poses(name: str, center_depths=None) -> np.ndarray:
+    """Scene-generation poses (get_pcdGenPoses, trajectory.py:92-99)."""
+    if name == 'rotate360':
+        return seed_360(360, 10, shuffled=True)
+    if name == 'hemisphere':
+        return seed_hemisphere(center_depths)
+    raise ValueError(f"Invalid pcd generation path: {name}")
+
+
+def get_camera_paths() -> dict:
+    """180-frame render presets as NeRF-style c2w frames
+    (get_camerapaths, trajectory.py:102-126)."""
+    presets = {}
+    yz_reverse = np.diag([1.0, -1.0, -1.0])
+    for name in ('rotate360',):
+        frames = []
+        for pose in seed_360(360, 180):
+            Rw2i = pose[:3, :3]
+            Tw2i = pose[:3, 3:4]
+            Ri2w = (yz_reverse @ Rw2i).T
+            Ti2w = -Ri2w @ (yz_reverse @ Tw2i)
+            c2w = np.eye(4)
+            c2w[:3, :3] = Ri2w
+            c2w[:3, 3:4] = Ti2w
+            frames.append({"transform_matrix": c2w.tolist()})
+        presets[name] = {"frames": frames}
+    return presets

@@ -1,0 +1,132 @@
+"""End-to-end pipeline smoke: stub priors -> pcd -> training -> codec."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bloomscene_tpu.config import CameraConfig, GSConfig
+from bloomscene_tpu.pipeline.bloomscene import BloomScene
+from bloomscene_tpu.pipeline import pcdgen
+from bloomscene_tpu.priors import StubDepthPrior, StubInpaintPrior
+from bloomscene_tpu.scene.trajectory import (get_camera_paths,
+                                             get_pcd_gen_poses)
+
+
+def test_trajectory_shapes():
+    poses = get_pcd_gen_poses('rotate360')
+    assert poses.shape == (10, 3, 4)
+    # rotations are valid
+    for p in poses:
+        np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
+                                   atol=1e-8)
+    hemi = get_pcd_gen_poses('hemisphere', [2.0, 3.0])
+    assert hemi.shape == (10, 3, 4)
+    paths = get_camera_paths()
+    assert len(paths['rotate360']['frames']) == 180
+
+
+def test_stub_priors_deterministic():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    mask = np.zeros((64, 64), np.float32)
+    mask[20:40, 20:40] = 1
+    ip = StubInpaintPrior()
+    out1 = ip(img, mask, "prompt", seed=3)
+    out2 = ip(img, mask, "prompt", seed=3)
+    np.testing.assert_array_equal(out1, out2)
+    # known pixels unchanged
+    np.testing.assert_allclose(out1[~(mask > 0.5)], img[~(mask > 0.5)])
+    dp = StubDepthPrior()
+    d = dp(img)
+    assert d.shape == (64, 64) and d.min() > 0
+
+
+@pytest.fixture(scope="module")
+def tiny_cam():
+    return CameraConfig(H=64, W=64, focal=(72.8, 72.8))
+
+
+def test_generate_pcd_stub(tiny_cam):
+    rng = np.random.default_rng(1)
+    rgb = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    data = pcdgen.generate_pcd(
+        rgb, "a room", "", 'rotate360', seed=0, diff_steps=2,
+        cam=tiny_cam, inpaint=StubInpaintPrior(),
+        depth_prior=StubDepthPrior())
+    assert data['pcd_points'].shape[0] == 3
+    assert data['pcd_points'].shape[1] == data['pcd_colors'].shape[0]
+    assert data['pcd_points'].shape[1] > 64 * 64  # grew beyond view 0
+    assert len(data['frames']) > 40              # ~50 supervision frames
+    fr = data['frames'][0]
+    assert fr['image'].shape == (64, 64, 3)
+    assert fr['depth'].shape == (64, 64)
+    assert np.isfinite(data['pcd_points']).all()
+
+
+def test_full_pipeline_smoke(tmp_path, tiny_cam):
+    """The whole create() flow at miniature scale."""
+    cfg = GSConfig(voxel_size=0.1, iterations=30, start_stat=5,
+                   update_from=10 ** 9, noise_from_step=10 ** 9,
+                   context_from_step=10 ** 9, max_splats_per_tile=512)
+    rng = np.random.default_rng(2)
+    rgb = rng.uniform(0.2, 0.8, (64, 64, 3)).astype(np.float32)
+    bs = BloomScene(str(tmp_path / "out"), cfg=cfg, cam=tiny_cam,
+                    inpaint_prior=StubInpaintPrior(),
+                    depth_prior=StubDepthPrior(), seed=0)
+    bs.generate(rgb, "a colorful room", diff_steps=1, verbose=False)
+    assert len(bs.scene.train_cameras) > 40
+    bs.training(iterations=30, log_every=10)
+    assert bs.model is not None
+    assert np.isfinite(bs.logs[-1]['loss'])
+
+    sizes = bs.compress()
+    assert sizes['total_MB'] > 0
+    assert os.path.exists(tmp_path / "out" / "bitstreams" / "meta.json")
+
+    bs.save_outputs()
+    assert os.path.exists(tmp_path / "out" / "gsplat.ply")
+    assert os.path.exists(tmp_path / "out" / "checkpoint.npz")
+
+    # orbit render (subset of frames for speed)
+    bs.scene = bs.scene._replace(preset_cameras={
+        'rotate360': bs.scene.preset_cameras['rotate360'][:8]})
+    info = bs.render_video('rotate360')
+    assert info['n_frames'] == 8
+    ev = bs.render_eval("a colorful room")
+    assert 'proxy_sharpness' in ev
+
+
+def test_io_roundtrips(tmp_path):
+    from bloomscene_tpu.utils import io as io_utils
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 1, (100, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+    p = str(tmp_path / "pc.ply")
+    io_utils.save_ply_pointcloud(p, pts, cols)
+    pts2, cols2 = io_utils.load_ply_pointcloud(p)
+    np.testing.assert_allclose(pts2, pts, atol=1e-6)
+    assert np.abs(cols2 - cols).max() < 1 / 255 + 1e-6
+
+    # anchor state PLY roundtrip
+    import jax
+    from bloomscene_tpu.models.model import init_model
+    cfg = GSConfig(voxel_size=0.1)
+    model, _ = init_model(jax.random.PRNGKey(0), pts + [0, 0, 3], cfg)
+    ap = str(tmp_path / "anchors.ply")
+    io_utils.save_anchor_ply(ap, model.state)
+    st2 = io_utils.load_anchor_ply(ap, cfg.n_offsets, cfg.feat_dim)
+    n = int(model.state.num_alive())
+    assert int(st2.num_alive()) == n
+    alive = np.asarray(model.state.alive)
+    np.testing.assert_allclose(np.asarray(st2.anchor)[:n],
+                               np.asarray(model.state.anchor)[alive],
+                               atol=1e-6)
+
+    # checkpoint roundtrip
+    ck = {'heads': model.heads, 'grid': model.grid, 'bounds': model.bounds}
+    cp = str(tmp_path / "ck.npz")
+    io_utils.save_checkpoint(cp, ck)
+    ck2 = io_utils.load_checkpoint(cp, ck)
+    for a, b in zip(jax.tree.leaves(ck), jax.tree.leaves(ck2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
