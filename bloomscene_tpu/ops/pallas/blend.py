@@ -1,0 +1,369 @@
+"""Pallas TPU kernels: front-to-back blend forward + backward.
+
+Mosaic replacement for the XLA-scan blend in ops/tile_rasterizer — same
+semantics (the golden model's / CUDA forward.cu:385-471), an order of
+magnitude less loop overhead.
+
+Layout (the crux): pixel-state arrays are [P, GT] with each tile's 256
+PIXELS on sublanes and GT=128 tiles of a tile-group on LANES. A splat step
+needs each tile's current splat attribute broadcast to its pixels — with
+tiles on lanes this is a natural [1, GT] -> [P, GT] sublane broadcast, no
+transposes anywhere. Splat data is packed [cap, DATA_W, T]: a dynamic
+index on the leading (untiled) dim yields the step's [DATA_W, GT]
+attribute rows.
+
+Grid: (tile_groups, cap_chunks). TPU grids execute sequentially on the
+core, so the blend carries live in VMEM scratch that persists across the
+minor (chunk) dimension — initialized at chunk 0, emitted at the last
+chunk — while the BlockSpec pipeline double-buffers each chunk's splat
+data HBM->VMEM behind the compute. The per-group splat loop runs only up
+to the group's actual occupancy (scalar-prefetched counts).
+
+Backward re-walks back-to-front (chunks iterated reversed via the index
+map) with the CUDA recurrence (backward.cu:477-585) extended with the
+depth/acc channels, writing per-entry gradients [cap, GRAD_W, T] that XLA
+segment-sums into per-Gaussian gradients outside.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..reference_rasterizer import (ACC_GATE, ACC_SEED, ALPHA_MAX,
+                                    ALPHA_MIN, T_EPS)
+
+GROUP_TILES = 128    # tiles per program (lane dim; must be 128-multiple)
+CAP_CHUNK = 128      # splats streamed per grid step (VMEM budget bound)
+INTERPRET = False    # set True to run kernels in interpreter mode (CPU)
+DATA_W = 16          # packed attrs: mx,my,ca,cb,cc,op,de,r,g,b,valid,pad*5
+GRAD_W = 16          # per-entry grads: dmx,dmy,dca,dcb,dcc,dop,dde,dr,dg,db
+
+
+def pack_splat_data(mean2d, conic, depth, color, opac, entries,
+                    entry_mask) -> jnp.ndarray:
+    """Per-entry attrs laid out [cap, DATA_W, T].
+
+    Packs per-GAUSSIAN first ([N, DATA_W], cheap fused elementwise) so the
+    per-entry expansion is a single fused gather+transpose — five separate
+    [T, cap, k] gathers plus a big concat cost ~40ms at 100K splats,
+    this formulation ~0.2ms. Entry validity is NOT packed: the kernels
+    derive it from the per-tile counts (entry lists are front-packed)."""
+    n = mean2d.shape[0]
+    base = jnp.concatenate([
+        mean2d, conic, opac[:, None], depth[:, None], color,
+        jnp.zeros((n, DATA_W - 10), jnp.float32)], -1)     # [N, DATA_W]
+    return jnp.transpose(base[entries.T], (0, 2, 1))       # [cap, W, T]
+
+
+def pack_splat_data_sorted(mean2d, conic, depth, color, opac,
+                           gauss_sorted, t_start, cap: int) -> jnp.ndarray:
+    """Like pack_splat_data but expands from the depth-sorted PAIR list:
+    one random row-gather of the pair list (half the rows of the per-entry
+    gather) + per-tile CONTIGUOUS dynamic slices (ranges are contiguous in
+    the sorted list), which XLA moves much faster than 1M random rows."""
+    n = mean2d.shape[0]
+    base = jnp.concatenate([
+        mean2d, conic, opac[:, None], depth[:, None], color,
+        jnp.zeros((n, DATA_W - 10), jnp.float32)], -1)     # [N, DATA_W]
+    bs = base[gauss_sorted]                                # [PC, DATA_W]
+    bs = jnp.concatenate(
+        [bs, jnp.zeros((cap, DATA_W), jnp.float32)], 0)    # slice-safe pad
+    sl = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(bs, (s, 0), (cap, DATA_W)))(
+        jnp.minimum(t_start, gauss_sorted.shape[0]))       # [T, cap, W]
+    return jnp.transpose(sl, (1, 2, 0))                    # [cap, W, T]
+
+
+def counts_rows(counts, num_tiles: int) -> jnp.ndarray:
+    """counts [T] -> [8, T] f32 rows (min sublane tile) for kernel input."""
+    c = counts.astype(jnp.float32)
+    return jnp.broadcast_to(c[None, :], (8, num_tiles))
+
+
+def _group_geometry(num_tiles: int, cap: int):
+    gt = GROUP_TILES
+    while num_tiles % gt:
+        gt //= 2
+    cc = min(CAP_CHUNK, cap)
+    while cap % cc:
+        cc //= 2
+    return gt, num_tiles // gt, cc, cap // cc
+
+
+def _pixel_coords(tile: int, gx: int, gt: int, group: jnp.ndarray):
+    """px, py [P, GT] for the tiles of ``group``."""
+    P = tile * tile
+    tid = group * gt + jax.lax.broadcasted_iota(jnp.int32, (P, gt), 1)
+    ox = (tid % gx) * tile
+    oy = (tid // gx) * tile
+    sp = jax.lax.broadcasted_iota(jnp.int32, (P, gt), 0)
+    px = (ox + sp % tile).astype(jnp.float32)
+    py = (oy + sp // tile).astype(jnp.float32)
+    return px, py
+
+
+def _split_row(row):
+    return (row[0:1, :], row[1:2, :], row[2:3, :], row[3:4, :],
+            row[4:5, :], row[5:6, :], row[6:7, :], row[7:8, :],
+            row[8:9, :], row[9:10, :])
+
+
+def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref,
+                r_ref, g_ref, b_ref, d_ref, acc_ref, t_ref, ncon_ref,
+                sT, sCr, sCg, sCb, sD, sAcc, sDone, sNcon):
+    gt = r_ref.shape[1]
+    P = tile * tile
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    px, py = _pixel_coords(tile, gx, gt, g)
+
+    @pl.when(c == 0)
+    def _():
+        sT[...] = jnp.ones((P, gt), jnp.float32)
+        sCr[...] = jnp.zeros((P, gt), jnp.float32)
+        sCg[...] = jnp.zeros((P, gt), jnp.float32)
+        sCb[...] = jnp.zeros((P, gt), jnp.float32)
+        sD[...] = jnp.zeros((P, gt), jnp.float32)
+        sAcc[...] = jnp.full((P, gt), ACC_SEED, jnp.float32)
+        sDone[...] = jnp.zeros((P, gt), jnp.float32)
+        sNcon[...] = jnp.zeros((P, gt), jnp.int32)
+
+    n_here = jnp.clip(gmax_ref[g] - c * cc, 0, cc)
+    cnt = counts_ref[0:1, :]                    # [1, GT]
+
+    def body(j, carry):
+        T, Cr, Cg, Cb, D, acc, done, ncon = carry
+        row = data_ref[j]                       # [DATA_W, GT]
+        (mx, my, ca, cb, ccn, op, de, cr, cg, cbl) = _split_row(row)
+        vld = (c * cc + j) < cnt                # entry lists front-packed
+        dx = mx - px
+        dy = my - py
+        power = -0.5 * (ca * dx * dx + ccn * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+        ok = (vld & (power <= 0.0) & (alpha >= ALPHA_MIN)
+              & (done < 0.5))
+        test_T = T * (1.0 - alpha)
+        term = ok & (test_T < T_EPS)
+        blend = ok & ~term
+        done = jnp.where(term, 1.0, done)
+        w = jnp.where(blend, alpha * T, 0.0)
+        Cr = Cr + w * cr
+        Cg = Cg + w * cg
+        Cb = Cb + w * cbl
+        D = D + w * de
+        acc = acc + w
+        T = jnp.where(blend, test_T, T)
+        ncon = jnp.where(blend, c * cc + j + 1, ncon)
+        return (T, Cr, Cg, Cb, D, acc, done, ncon)
+
+    init = (sT[...], sCr[...], sCg[...], sCb[...], sD[...], sAcc[...],
+            sDone[...], sNcon[...])
+    T, Cr, Cg, Cb, D, acc, done, ncon = jax.lax.fori_loop(
+        0, n_here, body, init)
+    sT[...] = T
+    sCr[...] = Cr
+    sCg[...] = Cg
+    sCb[...] = Cb
+    sD[...] = D
+    sAcc[...] = acc
+    sDone[...] = done
+    sNcon[...] = ncon
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        r_ref[...] = sCr[...]
+        g_ref[...] = sCg[...]
+        b_ref[...] = sCb[...]
+        d_ref[...] = sD[...]
+        acc_ref[...] = sAcc[...]
+        t_ref[...] = sT[...]
+        ncon_ref[...] = sNcon[...]
+
+
+def blend_forward_pallas(splat_data, counts, tile: int, gx: int, gy: int):
+    """splat_data [cap, DATA_W, T], counts [T] ->
+    (r, g, b, D, acc, final_T [f32], ncon [i32]), each [P, T]."""
+    cap, _, num_tiles = splat_data.shape
+    P = tile * tile
+    gt, n_groups, cc, n_chunks = _group_geometry(num_tiles, cap)
+    gmax = jnp.max(counts.reshape(n_groups, gt), axis=1).astype(jnp.int32)
+
+    out_spec = pl.BlockSpec((P, gt), lambda g, c, s: (0, g),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups, n_chunks),
+        in_specs=[
+            pl.BlockSpec((cc, DATA_W, gt), lambda g, c, s: (c, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, gt), lambda g, c, s: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 7,
+        scratch_shapes=[pltpu.VMEM((P, gt), jnp.float32)] * 7
+        + [pltpu.VMEM((P, gt), jnp.int32)],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, tile, gx, cc),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((P, num_tiles), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((P, num_tiles), jnp.int32)],
+        interpret=INTERPRET,
+    )(gmax, splat_data, counts_rows(counts, num_tiles))
+    return outs
+
+
+def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tf_ref,
+                ncon_ref,
+                ur_ref, ug_ref, ub_ref, ud_ref, uone_ref, bgterm_ref,
+                grad_ref,
+                sT, sArR, sArG, sArB, sArD, sAr1, sLa, sLr, sLg, sLb, sLd):
+    gt = tf_ref.shape[1]
+    P = tile * tile
+    g = pl.program_id(0)
+    c = pl.program_id(1)             # reversed chunk order via index maps
+    n_chunks = pl.num_programs(1)
+    chunk = n_chunks - 1 - c         # actual cap-chunk being processed
+    px, py = _pixel_coords(tile, gx, gt, g)
+
+    @pl.when(c == 0)
+    def _():
+        sT[...] = tf_ref[...]
+        for ref in (sArR, sArG, sArB, sArD, sAr1, sLa, sLr, sLg, sLb, sLd):
+            ref[...] = jnp.zeros((P, gt), jnp.float32)
+
+    ncon = ncon_ref[...]
+    Tf = tf_ref[...]
+    ur = ur_ref[...]
+    ug = ug_ref[...]
+    ub = ub_ref[...]
+    ud = ud_ref[...]
+    uone = uone_ref[...]
+    bg_term = bgterm_ref[...]
+
+    grad_ref[...] = jnp.zeros_like(grad_ref)
+    n_here = jnp.clip(gmax_ref[g] - chunk * cc, 0, cc)
+    cnt = counts_ref[0:1, :]
+
+    def body(jj, carry):
+        (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld) = carry
+        j = n_here - 1 - jj          # chunk-local, descending
+        row = data_ref[j]
+        (mx, my, ca, cb, ccn, op, de, cr, cg, cbl) = _split_row(row)
+        vld = (chunk * cc + j) < cnt
+        dx = mx - px
+        dy = my - py
+        power = -0.5 * (ca * dx * dx + ccn * dy * dy) - cb * dx * dy
+        G = jnp.exp(power)
+        oG = op * G
+        alpha = jnp.minimum(ALPHA_MAX, oG)
+        blended = (vld & (power <= 0.0) & (alpha >= ALPHA_MIN)
+                   & (chunk * cc + j < ncon))
+
+        T = jnp.where(blended, T / (1.0 - alpha), T)
+        w = jnp.where(blended, alpha * T, 0.0)
+
+        ar_r = jnp.where(blended, la * lr + (1 - la) * ar_r, ar_r)
+        ar_g = jnp.where(blended, la * lg + (1 - la) * ar_g, ar_g)
+        ar_b = jnp.where(blended, la * lb + (1 - la) * ar_b, ar_b)
+        ar_d = jnp.where(blended, la * ld + (1 - la) * ar_d, ar_d)
+        ar_1 = jnp.where(blended, la + (1 - la) * ar_1, ar_1)
+
+        dL_da = ((cr - ar_r) * ur + (cg - ar_g) * ug + (cbl - ar_b) * ub
+                 + (de - ar_d) * ud + (1.0 - ar_1) * uone)
+        dL_da = dL_da * T + jnp.where(
+            blended, (-Tf / (1.0 - alpha)) * bg_term, 0.0)
+        dL_da = jnp.where(blended, dL_da, 0.0)
+
+        unclamped = oG < ALPHA_MAX
+        dG = jnp.where(unclamped, op, 0.0) * dL_da
+        gdx = G * dx
+        gdy = G * dy
+
+        def red(x):
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        out = jnp.concatenate([
+            red(dG * (-gdx * ca - gdy * cb)),           # d mx
+            red(dG * (-gdy * ccn - gdx * cb)),          # d my
+            red(-0.5 * gdx * dx * dG),                  # d ca
+            red(-gdx * dy * dG),                        # d cb
+            red(-0.5 * gdy * dy * dG),                  # d cc
+            red(jnp.where(unclamped, G, 0.0) * dL_da),  # d op
+            red(w * ud),                                # d depth
+            red(w * ur),                                # d r
+            red(w * ug),                                # d g
+            red(w * ub),                                # d b
+            jnp.zeros((GRAD_W - 10, gt), jnp.float32),
+        ], axis=0)                                      # [GRAD_W, GT]
+        grad_ref[j] = out
+
+        la = jnp.where(blended, alpha, la)
+        lr = jnp.where(blended, cr + 0 * lr, lr)
+        lg = jnp.where(blended, cg + 0 * lg, lg)
+        lb = jnp.where(blended, cbl + 0 * lb, lb)
+        ld = jnp.where(blended, de + 0 * ld, ld)
+        return (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld)
+
+    init = (sT[...], sArR[...], sArG[...], sArB[...], sArD[...], sAr1[...],
+            sLa[...], sLr[...], sLg[...], sLb[...], sLd[...])
+    (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld) = \
+        jax.lax.fori_loop(0, n_here, body, init)
+    sT[...] = T
+    sArR[...] = ar_r
+    sArG[...] = ar_g
+    sArB[...] = ar_b
+    sArD[...] = ar_d
+    sAr1[...] = ar_1
+    sLa[...] = la
+    sLr[...] = lr
+    sLg[...] = lg
+    sLb[...] = lb
+    sLd[...] = ld
+
+
+def blend_backward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
+                          final_T, ncon, u_r, u_g, u_b, u_d, u_one,
+                          bg_term):
+    """All pixel-state inputs [P, T]; returns per-entry gradients
+    [cap, GRAD_W, T] (same layout as splat_data)."""
+    cap, _, num_tiles = splat_data.shape
+    P = tile * tile
+    gt, n_groups, cc, n_chunks = _group_geometry(num_tiles, cap)
+    gmax = jnp.max(counts.reshape(n_groups, gt), axis=1).astype(jnp.int32)
+
+    vec = pl.BlockSpec((P, gt), lambda g, c, s: (0, g),
+                       memory_space=pltpu.VMEM)
+    rev = lambda g, c, s: (n_chunks - 1 - c, 0, g)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups, n_chunks),
+        in_specs=[
+            pl.BlockSpec((cc, DATA_W, gt), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, gt), lambda g, c, s: (0, g),
+                         memory_space=pltpu.VMEM),   # counts rows
+            vec,                                     # final_T
+            pl.BlockSpec((P, gt), lambda g, c, s: (0, g),
+                         memory_space=pltpu.VMEM),   # ncon (i32)
+            vec, vec, vec, vec, vec,                 # u_r..u_one
+            vec,                                     # bg_term
+        ],
+        out_specs=[pl.BlockSpec((cc, GRAD_W, gt), rev,
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((P, gt), jnp.float32)] * 11,
+    )
+    (grad,) = pl.pallas_call(
+        functools.partial(_bwd_kernel, tile, gx, cc),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((cap, GRAD_W, num_tiles),
+                                        jnp.float32)],
+        interpret=INTERPRET,
+    )(gmax, splat_data, counts_rows(counts, num_tiles), final_T, ncon,
+      u_r, u_g, u_b, u_d, u_one, bg_term)
+    return grad

@@ -37,6 +37,15 @@ from .tiles import TileBins, bin_splats
 from .projection import ProjectedSplats
 
 
+def _on_tpu() -> bool:
+    """True when the default device is a TPU (incl. the axon plugin)."""
+    try:
+        dev = jax.devices()[0]
+        return 'tpu' in (dev.platform + str(dev)).lower()
+    except Exception:
+        return False
+
+
 def _tile_pixel_coords(gx: int, gy: int, tile: int):
     """Pixel coordinates for every tile: two [num_tiles, tile*tile] arrays."""
     t = np.arange(gx * gy)
@@ -315,7 +324,9 @@ def rasterize_tiles(proj: ProjectedSplats,
                     tile: int = 16,
                     pair_capacity: int | None = None,
                     tile_capacity: int = 1024,
-                    tile_sharding=None) -> tuple[RenderOutput, TileBins]:
+                    tile_sharding=None,
+                    backend: str | None = None) -> tuple[RenderOutput,
+                                                         TileBins]:
     """Bin + blend. Binning indices carry no gradients (stop_gradient).
 
     ``tile_sharding``: optional NamedSharding whose leading axis shards the
@@ -337,6 +348,16 @@ def rasterize_tiles(proj: ProjectedSplats,
                                                     tile_sharding))
     # neutralize contributions of invalid splats (mirrors radius-0 cull)
     opac_eff = jnp.where(proj.valid, opacities, 0.0)
-    out = tile_blend(tile, gx, gy, W, H, proj.mean2d, proj.conic, proj.depth,
-                     colors, opac_eff, bg, bins.entries, bins.entry_mask)
+    if backend is None:
+        backend = 'pallas' if _on_tpu() else 'xla'
+    if backend == 'pallas':
+        from .pallas.wrapper import tile_blend_pallas
+        out = tile_blend_pallas(tile, gx, gy, W, H, proj.mean2d,
+                                proj.conic, proj.depth, colors, opac_eff,
+                                bg, bins.entries, bins.gauss_sorted,
+                                bins.t_start, bins.counts)
+    else:
+        out = tile_blend(tile, gx, gy, W, H, proj.mean2d, proj.conic,
+                         proj.depth, colors, opac_eff, bg, bins.entries,
+                         bins.entry_mask)
     return out, bins

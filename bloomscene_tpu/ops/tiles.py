@@ -37,6 +37,9 @@ class TileBins(NamedTuple):
     num_pairs: jnp.ndarray      # [] int32 total (untruncated) pair count
     pair_overflow: jnp.ndarray  # [] int32 pairs dropped by pair_capacity
     tile_overflow: jnp.ndarray  # [] int32 entries dropped by tile_capacity
+    gauss_sorted: jnp.ndarray   # [pair_capacity] int32 tile-then-depth order
+    t_start: jnp.ndarray        # [num_tiles] int32 range starts into above
+    counts: jnp.ndarray         # [num_tiles] int32 clamped to tile_capacity
 
 
 def tile_grid(W: int, H: int, tile: int) -> tuple[int, int]:
@@ -77,7 +80,10 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
             entries=jnp.zeros((num_tiles, tile_capacity), jnp.int32),
             entry_mask=jnp.zeros((num_tiles, tile_capacity), bool),
             num_pairs=jnp.int32(0), pair_overflow=jnp.int32(0),
-            tile_overflow=jnp.int32(0))
+            tile_overflow=jnp.int32(0),
+            gauss_sorted=jnp.zeros((pair_capacity,), jnp.int32),
+            t_start=jnp.zeros((num_tiles,), jnp.int32),
+            counts=jnp.zeros((num_tiles,), jnp.int32))
 
     x0, y0, x1, _y1, touched = compute_tile_rects(proj, W, H, tile)
     # f32 scans: integer scans are slow on the TPU VPU, and every quantity
@@ -154,4 +160,7 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     return TileBins(entries=entries, entry_mask=entry_mask,
                     num_pairs=total.astype(jnp.int32),
                     pair_overflow=pair_overflow.astype(jnp.int32),
-                    tile_overflow=tile_overflow.astype(jnp.int32))
+                    tile_overflow=tile_overflow.astype(jnp.int32),
+                    gauss_sorted=gauss_s,
+                    t_start=t_start,
+                    counts=jnp.minimum(counts, tile_capacity))

@@ -1,0 +1,80 @@
+"""Pallas blend kernels vs the XLA path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bloomscene_tpu.ops import graphics, projection
+from bloomscene_tpu.ops.pallas import blend as pallas_blend
+from bloomscene_tpu.ops.tile_rasterizer import rasterize_tiles
+
+W = H = 64
+TILE = 16
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pallas_blend.INTERPRET = True
+    yield
+    pallas_blend.INTERPRET = False
+
+
+def make_scene(rng, n=120):
+    means = np.stack([rng.uniform(-1.2, 1.2, n), rng.uniform(-1.2, 1.2, n),
+                      rng.uniform(0.8, 5.0, n)], -1).astype(np.float32)
+    scales = rng.uniform(0.02, 0.25, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opac = rng.uniform(0.1, 0.95, n).astype(np.float32)
+    view = graphics.world_to_view(np.eye(3), np.zeros(3))
+    proj_m = graphics.projection_matrix(0.01, 100.0, 1.0, 1.0) @ view
+    fx = graphics.fov2focal(1.0, W)
+    t = float(np.tan(0.5))
+    cov6 = projection.build_cov3d(jnp.asarray(scales), jnp.asarray(quats))
+    p = projection.project_gaussians(jnp.asarray(means), cov6,
+                                     jnp.asarray(view), jnp.asarray(proj_m),
+                                     W, H, fx, fx, t, t)
+    return p, jnp.asarray(colors), jnp.asarray(opac)
+
+
+def test_pallas_forward_matches_xla(rng):
+    p, colors, opac = make_scene(rng)
+    bg = jnp.array([0.2, 0.5, 0.8])
+    out_x, _ = rasterize_tiles(p, colors, opac, bg, W, H, tile=TILE,
+                               tile_capacity=128, backend='xla')
+    out_p, _ = rasterize_tiles(p, colors, opac, bg, W, H, tile=TILE,
+                               tile_capacity=128, backend='pallas')
+    np.testing.assert_allclose(out_p.color, out_x.color, atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(out_p.depth, out_x.depth, atol=1e-4)
+    np.testing.assert_allclose(out_p.final_T, out_x.final_T, atol=1e-5)
+    np.testing.assert_allclose(out_p.alpha, out_x.alpha, atol=1e-5)
+
+
+def test_pallas_backward_matches_xla(rng):
+    p, colors, opac = make_scene(rng, n=60)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    tgt_c = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    tgt_d = jnp.asarray(rng.uniform(1, 4, (H, W)).astype(np.float32))
+
+    def loss(backend, mean2d, conic, depth, colors, opac, bg):
+        pp = p._replace(mean2d=mean2d, conic=conic, depth=depth)
+        out, _ = rasterize_tiles(pp, colors, opac, bg, W, H, tile=TILE,
+                                 tile_capacity=128, backend=backend)
+        return (jnp.mean((out.color - tgt_c) ** 2)
+                + 0.5 * jnp.mean((out.depth - tgt_d) ** 2)
+                + 0.1 * jnp.mean(out.final_T)
+                + 0.05 * jnp.mean(out.alpha))
+
+    args = (p.mean2d, p.conic, p.depth, colors, opac, bg)
+    lx = loss('xla', *args)
+    lp = loss('pallas', *args)
+    np.testing.assert_allclose(float(lx), float(lp), rtol=1e-5)
+    gx = jax.grad(lambda *a: loss('xla', *a), argnums=tuple(range(6)))(*args)
+    gp = jax.grad(lambda *a: loss('pallas', *a),
+                  argnums=tuple(range(6)))(*args)
+    names = ['mean2d', 'conic', 'depth', 'colors', 'opac', 'bg']
+    for nm, a, b in zip(names, gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6,
+                                   rtol=2e-4, err_msg=f"grad {nm}")
