@@ -31,17 +31,16 @@ def _image_to_pt(x, gx, gy, tile):
     return jnp.transpose(xp, (1, 3, 0, 2)).reshape(tile * tile, gy * gx)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def tile_blend_pallas(tile, gx, gy, W, H, mean2d, conic, depth, color,
-                      opac, bg, entries, gauss_sorted, t_start, counts):
-    out, _ = _fwd_impl(tile, gx, gy, W, H, mean2d, conic, depth, color,
-                       opac, bg, entries, gauss_sorted, t_start, counts)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def tile_blend_pallas(tile, gx, gy, W, H, cap, mean2d, conic, depth, color,
+                      opac, bg, gauss_sorted, tile_sorted, t_start, counts):
+    out, _ = _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color,
+                       opac, bg, gauss_sorted, tile_sorted, t_start, counts)
     return out
 
 
-def _fwd_impl(tile, gx, gy, W, H, mean2d, conic, depth, color, opac, bg,
-              entries, gauss_sorted, t_start, counts):
-    cap = entries.shape[1]
+def _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac,
+              bg, gauss_sorted, tile_sorted, t_start, counts):
     data = pb.pack_splat_data_sorted(mean2d, conic, depth, color, opac,
                                      gauss_sorted, t_start, cap)
     r, g, b, D, acc, Tf, ncon = pb.blend_forward_pallas(
@@ -56,15 +55,18 @@ def _fwd_impl(tile, gx, gy, W, H, mean2d, conic, depth, color, opac, bg,
     return out, (data, counts, Tf, acc, D, ncon)
 
 
-def _fwd(tile, gx, gy, W, H, mean2d, conic, depth, color, opac, bg,
-         entries, gauss_sorted, t_start, counts):
-    out, res = _fwd_impl(tile, gx, gy, W, H, mean2d, conic, depth, color,
-                         opac, bg, entries, gauss_sorted, t_start, counts)
-    return out, (res, bg, entries, gauss_sorted.shape[0], mean2d.shape[0])
+def _fwd(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac, bg,
+         gauss_sorted, tile_sorted, t_start, counts):
+    out, res = _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth,
+                         color, opac, bg, gauss_sorted, tile_sorted,
+                         t_start, counts)
+    return out, (res, bg, gauss_sorted, tile_sorted, t_start,
+                 mean2d.shape[0])
 
 
-def _bwd(tile, gx, gy, W, H, saved, gout: RenderOutput):
-    (data, counts, Tf, acc, D, ncon), bg, entries, n_pairs, n = saved
+def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
+    ((data, counts, Tf, acc, D, ncon), bg, gauss_sorted, tile_sorted,
+     t_start, n) = saved
     to_pt = lambda x: _image_to_pt(x, gx, gy, tile)
 
     g_r = to_pt(gout.color[..., 0])
@@ -84,11 +86,21 @@ def _bwd(tile, gx, gy, W, H, saved, gout: RenderOutput):
         data, counts, tile, gx, gy, Tf, ncon, g_r, g_g, g_b, u_d, u_one,
         bg_term)                                # [cap, GRAD_W, T]
 
-    # [cap, G, T] -> per-pair list aligned with entries.T flattening
-    cap = grad.shape[0]
+    # reduce per-entry grads to per-gaussian: gather each PAIR's grad row
+    # (slot, tile) from the [cap, T, W]-flattened tensor, then one
+    # segment-sum over the pair list (half the rows of an entries-shaped
+    # scatter-add, and gathers beat scatters on TPU)
+    num_tiles = Tf.shape[1]
     gT = jnp.transpose(grad, (0, 2, 1)).reshape(-1, pb.GRAD_W)
-    seg = entries.T.reshape(-1)
-    sums = jax.ops.segment_sum(gT, seg, n)      # [n, GRAD_W]
+    n_pairs = gauss_sorted.shape[0]
+    k = jnp.arange(n_pairs, dtype=jnp.int32)
+    tile_k = jnp.minimum(tile_sorted, num_tiles - 1)
+    slot_k = k - t_start[tile_k]
+    pair_ok = (tile_sorted < num_tiles) & (slot_k >= 0) & (slot_k < cap)
+    rows = jnp.clip(slot_k, 0, cap - 1) * num_tiles + tile_k
+    pair_grad = jnp.where(pair_ok[:, None], gT[rows], 0.0)
+    seg = jnp.where(pair_ok, gauss_sorted, n)
+    sums = jax.ops.segment_sum(pair_grad, seg, n + 1)[:n]   # [n, GRAD_W]
     d_mean2d = sums[:, 0:2]
     d_conic = sums[:, 2:5]
     d_opac = sums[:, 5]
@@ -100,7 +112,7 @@ def _bwd(tile, gx, gy, W, H, saved, gout: RenderOutput):
 
     zero = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
     return (d_mean2d, d_conic, d_depth, d_color, d_opac, d_bg,
-            zero(entries.shape), zero((n_pairs,)), zero(counts.shape),
+            zero((n_pairs,)), zero((n_pairs,)), zero(counts.shape),
             zero(counts.shape))
 
 

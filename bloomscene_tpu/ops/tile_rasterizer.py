@@ -352,10 +352,11 @@ def rasterize_tiles(proj: ProjectedSplats,
         backend = 'pallas' if _on_tpu() else 'xla'
     if backend == 'pallas':
         from .pallas.wrapper import tile_blend_pallas
-        out = tile_blend_pallas(tile, gx, gy, W, H, proj.mean2d,
-                                proj.conic, proj.depth, colors, opac_eff,
-                                bg, bins.entries, bins.gauss_sorted,
-                                bins.t_start, bins.counts)
+        out = tile_blend_pallas(tile, gx, gy, W, H, tile_capacity,
+                                proj.mean2d, proj.conic, proj.depth,
+                                colors, opac_eff, bg, bins.gauss_sorted,
+                                bins.tile_sorted, bins.t_start,
+                                bins.counts)
     else:
         out = tile_blend(tile, gx, gy, W, H, proj.mean2d, proj.conic,
                          proj.depth, colors, opac_eff, bg, bins.entries,

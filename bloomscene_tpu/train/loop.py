@@ -137,7 +137,8 @@ class Trainer:
 
     def __init__(self, model: Model, cfg: GSConfig, intr: Intrinsics,
                  voxel_size: float, spatial_lr_scale: float = 1.0,
-                 bg: np.ndarray | None = None, seed: int = 0):
+                 bg: np.ndarray | None = None, seed: int = 0,
+                 logger=None):
         self.cfg = cfg
         self.intr = intr
         self.voxel_size = voxel_size
@@ -153,13 +154,52 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed)
         self.np_rng = np.random.default_rng(seed)
         self.history: list[dict] = []
+        self.step = 0
+        self.logger = logger    # optional utils.logging.RunLogger
+
+    # --- full-trainer checkpoint (capture/restore equivalent,
+    #     reference gaussian_model.py:312-340, but actually resumable) ---
+    def save(self, path: str):
+        from ..utils.io import save_checkpoint
+        save_checkpoint(path, {
+            'model': self.model, 'opt_state': self.opt_state,
+            'stats': self.stats, 'key': self.key},
+            meta={'step': self.step})
+        import json
+        import os
+        with open(os.path.splitext(path)[0] + '.meta.json', 'w') as f:
+            json.dump({'step': self.step, 'voxel_size': self.voxel_size},
+                      f)
+
+    def restore(self, path: str):
+        """Restore model/optimizer/stats/rng; resumes mid-run. The trainer
+        must be constructed with the same config and a model of the same
+        capacity (re-init then restore)."""
+        import json
+        import os
+        from ..utils.io import load_checkpoint
+        like = {'model': self.model, 'opt_state': self.opt_state,
+                'stats': self.stats, 'key': self.key}
+        data = load_checkpoint(path, like)
+        self.model = data['model']
+        self.opt_state = data['opt_state']
+        self.stats = data['stats']
+        self.key = data['key']
+        meta_p = os.path.splitext(path)[0] + '.meta.json'
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                self.step = json.load(f)['step']
 
     def run(self, cameras, iterations: int | None = None,
             log_every: int = 100, callback=None):
-        """cameras: list of (CameraArrays, gt_image, gt_depth) device arrays."""
+        """cameras: list of (CameraArrays, gt_image, gt_depth) device arrays.
+
+        Resumes from ``self.step + 1`` (0 for a fresh trainer, or the
+        restored step after ``restore()``)."""
         cfg = self.cfg
         iterations = iterations or cfg.iterations
-        for it in range(1, iterations + 1):
+        for it in range(self.step + 1, iterations + 1):
+            self.step = it
             self.key, k_cam, k_step = jax.random.split(self.key, 3)
             cam_idx = int(jax.random.randint(k_cam, (), 0, len(cameras)))
             cam, gt_image, gt_depth = cameras[cam_idx]
@@ -189,6 +229,8 @@ class Trainer:
                     rec.update({f'densify_{k}': v for k, v in info.items()
                                 if not isinstance(v, bool)})
                 self.history.append(rec)
+                if self.logger is not None:
+                    self.logger.log(rec, step=it)
                 if callback:
                     callback(rec)
         return self.model
