@@ -32,6 +32,13 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1.0 - x))
 
 
+def capacity_bucket(n: int, granularity: int = 8192) -> int:
+    """Anchor-capacity buckets: multiples of ``granularity`` (power-of-two
+    rounding wastes up to 2x decode/projection work; each new bucket costs
+    one re-jit)."""
+    return max(256, -(-n // granularity) * granularity)
+
+
 class AnchorState(NamedTuple):
     anchor: jnp.ndarray
     offset: jnp.ndarray
@@ -108,7 +115,7 @@ def init_from_points(points: np.ndarray, *, n_offsets: int, feat_dim: int,
     pts = voxelize_points(points, voxel_size, seed).astype(np.float32)
     n = pts.shape[0]
     if capacity is None:
-        capacity = max(64, int(2 ** np.ceil(np.log2(n * 1.5))))
+        capacity = capacity_bucket(int(n * 1.25))
 
     d2 = np.asarray(knn_mean_sq_dist(jnp.asarray(pts)))
     scales = np.log(np.sqrt(np.clip(d2, 1e-7, None)))[:, None].repeat(6, 1)

@@ -180,7 +180,8 @@ def adjust_anchor(model: Model, stats: DensifyStats, opt_state,
     if n_new > 0:
         free = np.where(~alive)[0]
         if free.size < n_new:
-            new_cap = int(2 ** np.ceil(np.log2(C + n_new * 2)))
+            from .anchors import capacity_bucket
+            new_cap = capacity_bucket(int((C + n_new) * 1.25))
             for f in s_np:
                 s_np[f] = _grow_capacity(s_np[f], new_cap)
             op_acc = _grow_capacity(op_acc, new_cap)

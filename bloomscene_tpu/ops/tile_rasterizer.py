@@ -337,7 +337,12 @@ def rasterize_tiles(proj: ProjectedSplats,
     n = proj.mean2d.shape[0]
     gx, gy = (-(-W // tile), -(-H // tile))
     if pair_capacity is None:
-        pair_capacity = max(1, 8 * n)
+        # pairs beyond per-tile capacity are dropped anyway, so never buy
+        # more pair slots than the tiles can hold; 4 tiles/splat covers
+        # typical scenes (overflow is reported in TileBins)
+        limit = gx * gy * tile_capacity
+        want = 1 << max(16, int(np.ceil(np.log2(max(4 * n, 1)))))
+        pair_capacity = max(1024, min(want, limit))
     bins = bin_splats(
         ProjectedSplats(*(lax.stop_gradient(x) for x in proj)),
         W, H, tile, pair_capacity, tile_capacity)
