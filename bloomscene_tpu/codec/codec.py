@@ -19,7 +19,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +92,9 @@ def estimate_final_bits(model: Model, cfg: GSConfig) -> dict:
     """estimate_final_bits equivalent (gaussian_model.py:1016-1071)."""
     idx, arr = _alive_arrays(model, cfg)
     n = idx.size
+    if n == 0:
+        return {'total_MB': 0.0, 'n_anchors': 0,
+                'error': 'no alive anchors with non-empty masks'}
     anchors = jnp.asarray(arr['anchor'])
     (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
      q_f, q_s, q_o) = _context_params(model, anchors, cfg)
@@ -140,6 +142,9 @@ def encode_scene(model: Model, cfg: GSConfig, path: str) -> dict:
     os.makedirs(path, exist_ok=True)
     idx, arr = _alive_arrays(model, cfg)
     n = idx.size
+    if n == 0:
+        raise ValueError("encode_scene: no alive anchors with non-empty "
+                         "masks — the scene is empty (diverged training?)")
     steps = -(-n // CHUNK)
 
     # anchors: store actual 16-bit codes + bounds. arr['anchor'] is already

@@ -20,7 +20,6 @@ import ctypes
 import math
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 

@@ -130,6 +130,10 @@ class GSConfig:
     # --- rasterizer (TPU tiling; reference uses 16x16 CUDA blocks) ---
     tile_size: int = 16
     max_splats_per_tile: int = 1024     # static per-tile capacity (XLA shapes)
+    # rematerialize the decode+render in the backward pass (trades ~30%
+    # recompute for the per-child activation memory — required to fit
+    # full-scale scenes in 16G HBM)
+    remat: bool = True
 
     # --- quantization step bases (gaussian_renderer/__init__.py:52-54) ---
     q_base_feat: float = 0.25

@@ -126,6 +126,16 @@ def adjust_anchor(model: Model, stats: DensifyStats, opt_state,
         grid_coords = np.round(exist / cur_size).astype(np.int64)
 
         sel_xyz = all_xyz[cand]                          # [M, 3]
+        # guard: exploding offsets*scales can produce non-finite candidate
+        # positions; drop them instead of poisoning the voxel grid
+        finite = np.isfinite(sel_xyz).all(1) \
+            & (np.abs(sel_xyz) < 1e12).all(1)
+        if not finite.all():
+            cand_idx = np.where(cand.reshape(-1))[0][~finite]
+            cand.reshape(-1)[cand_idx] = False
+            sel_xyz = sel_xyz[finite]
+        if sel_xyz.shape[0] == 0:
+            continue
         sel_gc = np.round(sel_xyz / cur_size).astype(np.int64)
         uniq, inverse = np.unique(sel_gc, axis=0, return_inverse=True)
 

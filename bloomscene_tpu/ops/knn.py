@@ -89,17 +89,26 @@ def knn_mean_sq_dist(points: jnp.ndarray, k: int = 3,
         cand_list.append(cand)
 
     cand = jnp.concatenate(cand_list, axis=1)            # [N, P*2w]
-    # dedupe: sort indices per row, inf-out repeats and sentinels
-    cand = jnp.sort(cand, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((n, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1)
-    bad = dup | (cand >= n)
-    cand_c = jnp.minimum(cand, n - 1)
-    diff = points[cand_c] - points[:, None, :]
-    d2 = jnp.sum(diff * diff, -1)
-    d2 = jnp.where(bad, jnp.inf, d2)
-    neg_top, _ = jax.lax.top_k(-d2, k)
-    return jnp.mean(-neg_top, -1)
+
+    # process in row chunks: the [N, P*2w, 3] candidate-gather intermediate
+    # is ~2.3GB/million points, which OOMs the chip on big init clouds
+    chunk = 131072
+    outs = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        c = cand[lo:hi]
+        # dedupe: sort indices per row, inf-out repeats and sentinels
+        c = jnp.sort(c, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((hi - lo, 1), bool), c[:, 1:] == c[:, :-1]], axis=1)
+        bad = dup | (c >= n)
+        cc = jnp.minimum(c, n - 1)
+        diff = points[cc] - points[lo:hi, None, :]
+        d2 = jnp.sum(diff * diff, -1)
+        d2 = jnp.where(bad, jnp.inf, d2)
+        neg_top, _ = jax.lax.top_k(-d2, k)
+        outs.append(jnp.mean(-neg_top, -1))
+    return jnp.concatenate(outs)
 
 
 def _knn_exact(points: jnp.ndarray, k: int = 3) -> jnp.ndarray:

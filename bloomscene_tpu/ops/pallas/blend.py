@@ -34,8 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..reference_rasterizer import (ACC_GATE, ACC_SEED, ALPHA_MAX,
-                                    ALPHA_MIN, T_EPS)
+from ..reference_rasterizer import (ACC_SEED, ALPHA_MAX, ALPHA_MIN,
+                                    T_EPS)
 
 GROUP_TILES = 128    # tiles per program (lane dim; must be 128-multiple)
 CAP_CHUNK = 128      # splats streamed per grid step (VMEM budget bound)

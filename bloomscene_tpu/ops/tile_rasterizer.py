@@ -24,7 +24,6 @@ so one recurrence serves color, depth, and the alpha-accumulator outputs.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

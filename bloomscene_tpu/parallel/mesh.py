@@ -16,8 +16,6 @@ by constructing the same mesh over jax.distributed-initialized devices.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

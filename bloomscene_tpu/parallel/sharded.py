@@ -21,7 +21,6 @@ no expert parallelism either.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -20,9 +20,8 @@ import numpy as np
 
 from ..codec.codec import decode_scene, encode_scene, estimate_final_bits
 from ..config import CameraConfig, GSConfig
-from ..models.anchors import update_anchor_bounds
 from ..models.model import Model, init_model
-from ..models.render import prefilter_anchors, render
+from ..models.render import render
 from ..priors import (DepthPrior, InpaintPrior, StubDepthPrior,
                       StubInpaintPrior)
 from ..scene.dataset import SceneData, read_scene_data
@@ -31,6 +30,31 @@ from ..utils import io as io_utils
 from ..utils.depthviz import colorize
 from ..utils.metrics import evaluate_renders
 from . import pcdgen
+
+
+def _save_traindata(path: str, td: dict) -> None:
+    import numpy as _np
+    frames = td['frames']
+    _np.savez_compressed(
+        path,
+        camera_angle_x=td['camera_angle_x'], W=td['W'], H=td['H'],
+        pcd_points=td['pcd_points'], pcd_colors=td['pcd_colors'],
+        images=_np.stack([f['image'] for f in frames]),
+        depths=_np.stack([f['depth'] for f in frames]),
+        transforms=_np.stack([_np.array(f['transform_matrix'])
+                              for f in frames]))
+
+
+def _load_traindata(path: str) -> dict:
+    import numpy as _np
+    z = _np.load(path)
+    frames = [{'image': z['images'][i], 'depth': z['depths'][i],
+               'transform_matrix': z['transforms'][i].tolist()}
+              for i in range(z['images'].shape[0])]
+    return {'camera_angle_x': float(z['camera_angle_x']),
+            'W': int(z['W']), 'H': int(z['H']),
+            'pcd_points': z['pcd_points'], 'pcd_colors': z['pcd_colors'],
+            'frames': frames}
 
 
 class BloomScene:
@@ -58,11 +82,17 @@ class BloomScene:
     def generate(self, rgb_cond: np.ndarray, prompt: str,
                  negative_prompt: str = "", pcdgenpath: str = 'rotate360',
                  diff_steps: int = 50, verbose: bool = True) -> dict:
-        self.traindata = pcdgen.generate_pcd(
-            rgb_cond, prompt, negative_prompt, pcdgenpath, self.seed,
-            diff_steps, self.cam, self.inpaint, self.depth,
-            save_ply_path=os.path.join(self.save_dir, 'point_cloud.ply'),
-            progress=(print if verbose else None))
+        cache = os.path.join(self.save_dir, 'traindata.npz')
+        if os.path.exists(cache):
+            self.traindata = _load_traindata(cache)
+        else:
+            self.traindata = pcdgen.generate_pcd(
+                rgb_cond, prompt, negative_prompt, pcdgenpath, self.seed,
+                diff_steps, self.cam, self.inpaint, self.depth,
+                save_ply_path=os.path.join(self.save_dir,
+                                           'point_cloud.ply'),
+                progress=(print if verbose else None))
+            _save_traindata(cache, self.traindata)
         self.scene = read_scene_data(self.traindata,
                                      self.cfg.white_background)
         return self.traindata
@@ -82,6 +112,13 @@ class BloomScene:
         self.trainer = Trainer(model, self.cfg, cam0.intrinsics, voxel_size,
                                spatial_lr_scale=self.scene.radius,
                                seed=self.seed)
+        if callback is None:
+            callback = lambda rec: print(
+                {k: (round(v, 4) if isinstance(v, float) else v)
+                 for k, v in rec.items()
+                 if k in ('iteration', 'loss', 'loss_rgb', 'psnr',
+                          'bit_per_param', 'n_visible_anchors',
+                          'densify_n_alive')}, flush=True)
         self.model = self.trainer.run(views, iterations=iterations,
                                       log_every=log_every,
                                       callback=callback)

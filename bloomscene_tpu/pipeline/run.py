@@ -9,7 +9,6 @@ smoke testing.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import datetime
 import json
 import os
@@ -57,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help='render/generation resolution')
     p.add_argument('--render_frames', type=int, default=180,
                    help='number of orbit frames to render for the video')
+    p.add_argument('--voxel_size', type=float, default=None,
+                   help='anchor voxel size (default: config 0.001; larger '
+                        '= fewer anchors)')
     return p
 
 
@@ -89,6 +91,8 @@ def main(argv=None):
 
     use_dpr = args.dep_value or args.dep_domin or args.dep_smooth
     cfg = GSConfig(
+        **({'voxel_size': args.voxel_size}
+           if args.voxel_size is not None else {}),
         use_dpr=use_dpr,
         lambda_dep_value=args.dep_value_lbd if args.dep_value else 0.0,
         lambda_dep_domin=args.dep_domin_lbd if args.dep_domin else 0.0,

@@ -8,7 +8,6 @@ transform_matrix 4x4 c2w}]}.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import numpy as np

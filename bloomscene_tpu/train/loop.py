@@ -92,10 +92,16 @@ def make_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
         n_child = model.state.capacity * model.state.n_offsets
         m2d_offset = jnp.zeros((n_child, 2))
 
+        def render_fn(m, m2d):
+            return render(m, intr, cam, cfg, phase=phase, mode='train',
+                          key=key, bg=bg, visible=visible,
+                          mean2d_offset=m2d)
+
+        if cfg.remat:
+            render_fn = jax.checkpoint(render_fn)
+
         def loss_fn(m, m2d):
-            res = render(m, intr, cam, cfg, phase=phase, mode='train',
-                         key=key, bg=bg, visible=visible,
-                         mean2d_offset=m2d)
+            res = render_fn(m, m2d)
             loss, aux = compute_losses(res, gt_image, gt_depth, cfg)
             return loss, (res, aux)
 
