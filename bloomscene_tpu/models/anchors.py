@@ -142,7 +142,10 @@ def init_from_points(points: np.ndarray, *, n_offsets: int, feat_dim: int,
 # --- activated getters (gaussian_model.py:342-399) ---
 
 def get_scaling(state: AnchorState) -> jnp.ndarray:
-    return jnp.exp(state.scaling_log)
+    # the exponent clamp is a stability guard only: normal training keeps
+    # log-scales in [-10, 0]; unbounded exp is how conflicting objectives
+    # overflow to inf and NaN-poison every parameter in one step
+    return jnp.exp(jnp.clip(state.scaling_log, -20.0, 10.0))
 
 
 def get_mask(state: AnchorState) -> jnp.ndarray:

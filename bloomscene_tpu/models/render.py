@@ -28,6 +28,7 @@ class RenderResult(NamedTuple):
     rate: RateInfo
     proj: ProjectedSplats
     tile_overflow: jnp.ndarray
+    pair_overflow: jnp.ndarray
 
 
 def prefilter_anchors(model: Model, intr: Intrinsics,
@@ -79,4 +80,5 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
         tile_capacity=tile_capacity or cfg.max_splats_per_tile,
         tile_sharding=tile_sharding)
     return RenderResult(out=out, dec=dec, rate=rate, proj=proj,
-                        tile_overflow=bins.tile_overflow)
+                        tile_overflow=bins.tile_overflow,
+                        pair_overflow=bins.pair_overflow)

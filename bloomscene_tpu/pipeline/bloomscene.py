@@ -118,6 +118,7 @@ class BloomScene:
                  for k, v in rec.items()
                  if k in ('iteration', 'loss', 'loss_rgb', 'psnr',
                           'bit_per_param', 'n_visible_anchors',
+                          'tile_overflow', 'pair_overflow',
                           'densify_n_alive')}, flush=True)
         self.model = self.trainer.run(views, iterations=iterations,
                                       log_every=log_every,

@@ -36,6 +36,7 @@ class StepMetrics(NamedTuple):
     psnr: jnp.ndarray
     n_visible_anchors: jnp.ndarray
     tile_overflow: jnp.ndarray
+    pair_overflow: jnp.ndarray
 
 
 def phase_of_step(step: int, cfg: GSConfig) -> int:
@@ -114,6 +115,13 @@ def make_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
             lambda p, g: (jnp.zeros_like(p)
                           if not jnp.issubdtype(p.dtype, jnp.floating)
                           else g), model, g_model)
+        # a single non-finite loss would NaN-poison every parameter through
+        # Adam in one step (even zero-lr groups); skip such updates entirely
+        ok = jnp.isfinite(loss)
+        g_model = jax.tree.map(
+            lambda g: (jnp.where(ok, g, jnp.zeros_like(g))
+                       if jnp.issubdtype(g.dtype, jnp.floating) else g),
+            g_model)
         updates, opt_state = optimizer.update(g_model, opt_state, model)
         model = jax.tree.map(
             lambda p, u: p + u if jnp.issubdtype(p.dtype, jnp.floating)
@@ -132,7 +140,8 @@ def make_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
             loss_dep_smooth=aux['loss_dep_smooth'],
             bit_per_param=res.rate.bit_per_param, psnr=aux['psnr'],
             n_visible_anchors=jnp.sum(visible),
-            tile_overflow=res.tile_overflow)
+            tile_overflow=res.tile_overflow,
+            pair_overflow=res.pair_overflow)
         return model, opt_state, stats, metrics
 
     return train_step

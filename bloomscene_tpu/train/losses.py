@@ -57,8 +57,11 @@ def ssim(img1, img2, window_size: int = 11):
     mu1 = _depthwise_conv(img1, w)
     mu2 = _depthwise_conv(img2, w)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_conv(img1 * img1, w) - mu1_sq
-    sigma2_sq = _depthwise_conv(img2 * img2, w) - mu2_sq
+    # documented deviation from the reference: clamp the windowed variance
+    # estimates at zero — zero-padding makes them go negative near borders,
+    # which lets the SSIM map exceed 1 and ill-conditions the denominators
+    sigma1_sq = jnp.maximum(_depthwise_conv(img1 * img1, w) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_depthwise_conv(img2 * img2, w) - mu2_sq, 0.0)
     sigma12 = _depthwise_conv(img1 * img2, w) - mu1_mu2
     C1, C2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = (((2 * mu1_mu2 + C1) * (2 * sigma12 + C2))

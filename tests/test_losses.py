@@ -30,8 +30,11 @@ def _torch_ssim(img1, img2, window_size=11):
     mu1 = F.conv2d(img1, window, padding=pad, groups=c)
     mu2 = F.conv2d(img2, window, padding=pad, groups=c)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
-    s1 = F.conv2d(img1 * img1, window, padding=pad, groups=c) - mu1_sq
-    s2 = F.conv2d(img2 * img2, window, padding=pad, groups=c) - mu2_sq
+    # variance clamp matches our documented deviation (losses.py ssim)
+    s1 = (F.conv2d(img1 * img1, window, padding=pad, groups=c)
+          - mu1_sq).clamp(min=0)
+    s2 = (F.conv2d(img2 * img2, window, padding=pad, groups=c)
+          - mu2_sq).clamp(min=0)
     s12 = F.conv2d(img1 * img2, window, padding=pad, groups=c) - mu1_mu2
     C1, C2 = 0.01 ** 2, 0.03 ** 2
     m = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / \
