@@ -75,8 +75,11 @@ def decode_neural_gaussians(model: Model, cam_center: jnp.ndarray,
         visible = alive
     else:
         visible = visible & alive
+    # Reference computes mask_anchor_rate over the VISIBLE-compacted set
+    # (gaussian_renderer/__init__.py:44-46: pc.get_mask_anchor[visible_mask]
+    # then .sum()/.numel()), not over all anchors.
     mask_anchor_rate = jax.lax.stop_gradient(
-        _masked_mean(mask_anchor, alive.astype(jnp.float32)))
+        _masked_mean(mask_anchor, visible.astype(jnp.float32)))
 
     zero = jnp.zeros(())
     rate = RateInfo(zero, zero, zero, zero, mask_anchor_rate)
@@ -116,10 +119,11 @@ def decode_neural_gaussians(model: Model, cam_center: jnp.ndarray,
         grid_offsets = (grid_offsets + jax.random.normal(k3,
                         grid_offsets.shape) * (q_offsets + 1e-6)[:, :, None])
 
-        # rate loss on a ~5% random alive-and-masked anchor subsample
-        # (gaussian_renderer:100-127) — computed densely, weighted.
+        # rate loss on a ~5% random subsample of VISIBLE-and-masked anchors
+        # (gaussian_renderer:102-103: choose_idx drawn over the visible-
+        # compacted set, & mask_anchor_bool) — computed densely, weighted.
         choose = ((jax.random.uniform(k4, (C,)) <= cfg.rate_subsample)
-                  & (mask_anchor > 0) & alive)
+                  & (mask_anchor > 0) & visible)
         cw = choose.astype(jnp.float32)
         feat_mean = _masked_mean(st.feat, alive[:, None].astype(jnp.float32))
         scal_mean = _masked_mean(get_scaling(st),
@@ -171,6 +175,22 @@ def decode_neural_gaussians(model: Model, cam_center: jnp.ndarray,
     ob_view = anchor - cam_center[None, :]
     ob_dist = jnp.linalg.norm(ob_view, axis=1, keepdims=True)
     ob_view = ob_view / jnp.maximum(ob_dist, 1e-12)
+
+    if cfg.use_feat_bank:
+        # View-adaptive feature bank (gaussian_renderer/__init__.py:156-167):
+        # softmax bank weights from (ob_view, ob_dist) blend coarse/medium/
+        # fine strided views of feat. The reference tiles feat[:, ::4] x4 and
+        # feat[:, ::2] x2 (torch .repeat); for feat_dim not divisible by 4
+        # (the forced feat_dim=50, gaussian_model.py:149) the torch code
+        # would shape-error — we crop the tiled views back to F (documented
+        # generalization).
+        F = feat.shape[1]
+        bank_w = heads_lib.apply_feature_bank(
+            model.heads, jnp.concatenate([ob_view, ob_dist], -1))  # [C, 3]
+        feat = (jnp.tile(feat[:, ::4], (1, 4))[:, :F] * bank_w[:, 0:1]
+                + jnp.tile(feat[:, ::2], (1, 2))[:, :F] * bank_w[:, 1:2]
+                + feat * bank_w[:, 2:3])
+
     cat_view = jnp.concatenate([feat, ob_view, ob_dist], -1)    # [C, F+4]
 
     neural_opacity = heads_lib.apply_opacity(model.heads, cat_view)  # [C, K]

@@ -81,6 +81,38 @@ def test_decode_shapes_and_validity(model, phase, mode):
         assert float(rate.bit_per_param) == 0
 
 
+def test_feature_bank_decode_and_grads():
+    """use_feat_bank=True applies the bank blend (gaussian_renderer/
+    __init__.py:156-167) and the bank head receives gradients."""
+    cfg = GSConfig(voxel_size=0.05, max_splats_per_tile=256,
+                   use_feat_bank=True)
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    pts[:, 2] += 2.5
+    m, _ = init_model(jax.random.PRNGKey(0), pts, cfg)
+    # anchor feats init to zeros (Scaffold-GS), which would zero the bank
+    # blend identically — randomize them so the bank path is exercised
+    m = m._replace(state=m.state._replace(
+        feat=jax.random.normal(jax.random.PRNGKey(7), m.state.feat.shape)))
+    assert 'feature_bank' in m.heads
+    C, K = m.state.capacity, cfg.n_offsets
+    dec, _ = decode_neural_gaussians(m, jnp.zeros(3), cfg, phase=0,
+                                     mode='train', key=jax.random.PRNGKey(1))
+    assert dec.xyz.shape == (C * K, 3)
+    assert np.all(np.isfinite(np.asarray(dec.color)))
+
+    def loss(mm):
+        intr, cam = make_cam()
+        res = render(mm, intr, cam, cfg, phase=0, mode='train',
+                     key=jax.random.PRNGKey(2))
+        return jnp.mean(res.out.color ** 2)
+
+    m2 = m._replace(bounds=anchors_lib.update_anchor_bounds(m.state))
+    g = jax.grad(loss, allow_int=True)(m2)
+    assert float(jnp.sum(jnp.abs(g.heads['feature_bank'][0]['w']))) > 0
+    assert float(jnp.sum(jnp.abs(g.heads['feature_bank'][-1]['b']))) > 0
+
+
 def test_prefilter_and_render_smoke(model):
     intr, cam = make_cam()
     m = model._replace(bounds=anchors_lib.update_anchor_bounds(model.state))
