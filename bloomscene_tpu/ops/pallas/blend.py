@@ -85,6 +85,17 @@ def counts_rows(counts, num_tiles: int) -> jnp.ndarray:
     return jnp.broadcast_to(c[None, :], (8, num_tiles))
 
 
+def tid_rows(tid, num_tiles: int) -> jnp.ndarray:
+    """tile ids [T] -> [8, T] int32 rows for kernel input.
+
+    The blend kernels are tile-PERMUTATION-agnostic: lane t of a group
+    processes whatever tile id this row names. The wrapper sorts tiles by
+    occupancy so each group's tiles have similar splat counts (the
+    per-group loop runs to the group max — unbalanced groups waste steps
+    on mostly-empty lanes)."""
+    return jnp.broadcast_to(tid.astype(jnp.int32)[None, :], (8, num_tiles))
+
+
 def _group_geometry(num_tiles: int, cap: int):
     gt = GROUP_TILES
     while num_tiles % gt:
@@ -95,10 +106,10 @@ def _group_geometry(num_tiles: int, cap: int):
     return gt, num_tiles // gt, cc, cap // cc
 
 
-def _pixel_coords(tile: int, gx: int, gt: int, group: jnp.ndarray):
-    """px, py [P, GT] for the tiles of ``group``."""
+def _pixel_coords(tile: int, gx: int, gt: int, tid_ref):
+    """px, py [P, GT] for the tiles named by ``tid_ref`` row 0."""
     P = tile * tile
-    tid = group * gt + jax.lax.broadcasted_iota(jnp.int32, (P, gt), 1)
+    tid = jnp.broadcast_to(tid_ref[0:1, :], (P, gt))     # [P, GT] int32
     ox = (tid % gx) * tile
     oy = (tid // gx) * tile
     sp = jax.lax.broadcasted_iota(jnp.int32, (P, gt), 0)
@@ -113,7 +124,7 @@ def _split_row(row):
             row[8:9, :], row[9:10, :])
 
 
-def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref,
+def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
                 r_ref, g_ref, b_ref, d_ref, acc_ref, t_ref, ncon_ref,
                 sT, sCr, sCg, sCb, sD, sAcc, sDone, sNcon):
     gt = r_ref.shape[1]
@@ -121,7 +132,7 @@ def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref,
     g = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
-    px, py = _pixel_coords(tile, gx, gt, g)
+    px, py = _pixel_coords(tile, gx, gt, tid_ref)
 
     @pl.when(c == 0)
     def _():
@@ -135,6 +146,10 @@ def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref,
         sNcon[...] = jnp.zeros((P, gt), jnp.int32)
 
     n_here = jnp.clip(gmax_ref[g] - c * cc, 0, cc)
+    # early exit: once every pixel of the group has terminated, later
+    # chunks have nothing to blend (saves the whole chunk loop; the
+    # BlockSpec DMA still streams, but compute is the bottleneck here)
+    n_here = jnp.where(jnp.all(sDone[...] > 0.5), 0, n_here)
     cnt = counts_ref[0:1, :]                    # [1, GT]
 
     def body(j, carry):
@@ -186,24 +201,33 @@ def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref,
         ncon_ref[...] = sNcon[...]
 
 
-def blend_forward_pallas(splat_data, counts, tile: int, gx: int, gy: int):
+def blend_forward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
+                         tid=None):
     """splat_data [cap, DATA_W, T], counts [T] ->
-    (r, g, b, D, acc, final_T [f32], ncon [i32]), each [P, T]."""
+    (r, g, b, D, acc, final_T [f32], ncon [i32]), each [P, T].
+
+    ``tid`` [T] int32 names the actual tile id each column represents
+    (defaults to identity); columns may be any permutation — the wrapper
+    passes occupancy-sorted tiles for load-balanced groups."""
     cap, _, num_tiles = splat_data.shape
     P = tile * tile
     gt, n_groups, cc, n_chunks = _group_geometry(num_tiles, cap)
     gmax = jnp.max(counts.reshape(n_groups, gt), axis=1).astype(jnp.int32)
+    if tid is None:
+        tid = jnp.arange(num_tiles, dtype=jnp.int32)
 
     out_spec = pl.BlockSpec((P, gt), lambda g, c, s: (0, g),
                             memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec((8, gt), lambda g, c, s: (0, g),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups, n_chunks),
         in_specs=[
             pl.BlockSpec((cc, DATA_W, gt), lambda g, c, s: (c, 0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, gt), lambda g, c, s: (0, g),
-                         memory_space=pltpu.VMEM),
+            meta_spec,
+            meta_spec,
         ],
         out_specs=[out_spec] * 7,
         scratch_shapes=[pltpu.VMEM((P, gt), jnp.float32)] * 7
@@ -215,12 +239,13 @@ def blend_forward_pallas(splat_data, counts, tile: int, gx: int, gy: int):
         out_shape=[jax.ShapeDtypeStruct((P, num_tiles), jnp.float32)] * 6
         + [jax.ShapeDtypeStruct((P, num_tiles), jnp.int32)],
         interpret=INTERPRET,
-    )(gmax, splat_data, counts_rows(counts, num_tiles))
+    )(gmax, splat_data, counts_rows(counts, num_tiles),
+      tid_rows(tid, num_tiles))
     return outs
 
 
-def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tf_ref,
-                ncon_ref,
+def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
+                tf_ref, ncon_ref,
                 ur_ref, ug_ref, ub_ref, ud_ref, uone_ref, bgterm_ref,
                 grad_ref,
                 sT, sArR, sArG, sArB, sArD, sAr1, sLa, sLr, sLg, sLb, sLd):
@@ -230,7 +255,7 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tf_ref,
     c = pl.program_id(1)             # reversed chunk order via index maps
     n_chunks = pl.num_programs(1)
     chunk = n_chunks - 1 - c         # actual cap-chunk being processed
-    px, py = _pixel_coords(tile, gx, gt, g)
+    px, py = _pixel_coords(tile, gx, gt, tid_ref)
 
     @pl.when(c == 0)
     def _():
@@ -330,24 +355,34 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tf_ref,
 
 def blend_backward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
                           final_T, ncon, u_r, u_g, u_b, u_d, u_one,
-                          bg_term):
+                          bg_term, tid=None):
     """All pixel-state inputs [P, T]; returns per-entry gradients
-    [cap, GRAD_W, T] (same layout as splat_data)."""
+    [cap, GRAD_W, T] (same layout as splat_data).
+
+    The back-to-front walk per group is bounded by the LAST CONTRIBUTING
+    entry (max ncon over the group's pixels), not the raw splat count —
+    entries behind full saturation never blended, their grads are zero
+    (grad blocks are zeroed unconditionally)."""
     cap, _, num_tiles = splat_data.shape
     P = tile * tile
     gt, n_groups, cc, n_chunks = _group_geometry(num_tiles, cap)
-    gmax = jnp.max(counts.reshape(n_groups, gt), axis=1).astype(jnp.int32)
+    walk = jnp.minimum(counts, jnp.max(ncon, axis=0))
+    gmax = jnp.max(walk.reshape(n_groups, gt), axis=1).astype(jnp.int32)
+    if tid is None:
+        tid = jnp.arange(num_tiles, dtype=jnp.int32)
 
     vec = pl.BlockSpec((P, gt), lambda g, c, s: (0, g),
                        memory_space=pltpu.VMEM)
+    meta = pl.BlockSpec((8, gt), lambda g, c, s: (0, g),
+                        memory_space=pltpu.VMEM)
     rev = lambda g, c, s: (n_chunks - 1 - c, 0, g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups, n_chunks),
         in_specs=[
             pl.BlockSpec((cc, DATA_W, gt), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, gt), lambda g, c, s: (0, g),
-                         memory_space=pltpu.VMEM),   # counts rows
+            meta,                                    # counts rows
+            meta,                                    # tile-id rows (i32)
             vec,                                     # final_T
             pl.BlockSpec((P, gt), lambda g, c, s: (0, g),
                          memory_space=pltpu.VMEM),   # ncon (i32)
@@ -364,6 +399,7 @@ def blend_backward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
         out_shape=[jax.ShapeDtypeStruct((cap, GRAD_W, num_tiles),
                                         jnp.float32)],
         interpret=INTERPRET,
-    )(gmax, splat_data, counts_rows(counts, num_tiles), final_T, ncon,
+    )(gmax, splat_data, counts_rows(counts, num_tiles),
+      tid_rows(tid, num_tiles), final_T, ncon,
       u_r, u_g, u_b, u_d, u_one, bg_term)
     return grad

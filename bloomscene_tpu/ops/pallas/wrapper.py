@@ -3,6 +3,14 @@
 Mirrors ops.tile_rasterizer.tile_blend's interface/semantics; used as the
 TPU fast path by rasterize_tiles(backend='pallas'). Unified 5-channel
 cotangents (r, g, b, depth-value, ones) exactly as the XLA backward.
+
+Load balancing: tiles are processed in OCCUPANCY-SORTED order (descending
+splat count). The kernels' per-group splat loop runs to the group max, so
+grouping similar-count tiles together removes the wasted iterations that
+arbitrary grouping pays on skewed scenes (the CUDA kernel has no such
+issue — its blocks are per-tile — but the TPU vector unit wants 128 tiles
+per program). The permutation is undone on the pixel outputs; the
+gradient path works entirely in permuted "position" space.
 """
 from __future__ import annotations
 
@@ -11,6 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..reference_rasterizer import ACC_GATE, ACC_SEED, RenderOutput
 from . import blend as pb
@@ -31,6 +40,15 @@ def _image_to_pt(x, gx, gy, tile):
     return jnp.transpose(xp, (1, 3, 0, 2)).reshape(tile * tile, gy * gx)
 
 
+def _occupancy_perm(counts):
+    """perm: position -> tile id, descending count; pos: tile id -> position."""
+    T = counts.shape[0]
+    iota = jnp.arange(T, dtype=jnp.int32)
+    _, perm = lax.sort((-counts, iota), num_keys=1, is_stable=True)
+    pos = jnp.zeros((T,), jnp.int32).at[perm].set(iota)
+    return perm, pos
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def tile_blend_pallas(tile, gx, gy, W, H, cap, mean2d, conic, depth, color,
                       opac, bg, gauss_sorted, tile_sorted, t_start, counts):
@@ -41,18 +59,21 @@ def tile_blend_pallas(tile, gx, gy, W, H, cap, mean2d, conic, depth, color,
 
 def _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac,
               bg, gauss_sorted, tile_sorted, t_start, counts):
+    perm, pos = _occupancy_perm(counts)
+    counts_p = counts[perm]
     data = pb.pack_splat_data_sorted(mean2d, conic, depth, color, opac,
-                                     gauss_sorted, t_start, cap)
+                                     gauss_sorted, t_start[perm], cap)
     r, g, b, D, acc, Tf, ncon = pb.blend_forward_pallas(
-        data, counts, tile, gx, gy)
-    to_img = lambda x: _pt_to_image(x, gx, gy, tile, W, H)
+        data, counts_p, tile, gx, gy, tid=perm)
+    # outputs are in position space; column for tile t is pos[t]
+    to_img = lambda x: _pt_to_image(x[:, pos], gx, gy, tile, W, H)
     color_img = jnp.stack([to_img(r), to_img(g), to_img(b)], -1) \
         + to_img(Tf)[..., None] * bg
-    depth_img = jnp.where(to_img(acc) > ACC_GATE, to_img(D) / to_img(acc),
-                          0.0)
+    acc_img = to_img(acc)
+    depth_img = jnp.where(acc_img > ACC_GATE, to_img(D) / acc_img, 0.0)
     out = RenderOutput(color=color_img, depth=depth_img,
-                       alpha=to_img(acc) - ACC_SEED, final_T=to_img(Tf))
-    return out, (data, counts, Tf, acc, D, ncon)
+                       alpha=acc_img - ACC_SEED, final_T=to_img(Tf))
+    return out, (data, counts_p, perm, pos, Tf, acc, D, ncon)
 
 
 def _fwd(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac, bg,
@@ -65,9 +86,10 @@ def _fwd(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac, bg,
 
 
 def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
-    ((data, counts, Tf, acc, D, ncon), bg, gauss_sorted, tile_sorted,
-     t_start, n) = saved
-    to_pt = lambda x: _image_to_pt(x, gx, gy, tile)
+    ((data, counts_p, perm, pos, Tf, acc, D, ncon), bg, gauss_sorted,
+     tile_sorted, t_start, n) = saved
+    # cotangent images -> permuted position space (match fwd residuals)
+    to_pt = lambda x: _image_to_pt(x, gx, gy, tile)[:, perm]
 
     g_r = to_pt(gout.color[..., 0])
     g_g = to_pt(gout.color[..., 1])
@@ -83,22 +105,31 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
     bg_term = bg_dot + g_finalT
 
     grad = pb.blend_backward_pallas(
-        data, counts, tile, gx, gy, Tf, ncon, g_r, g_g, g_b, u_d, u_one,
-        bg_term)                                # [cap, GRAD_W, T]
+        data, counts_p, tile, gx, gy, Tf, ncon, g_r, g_g, g_b, u_d, u_one,
+        bg_term, tid=perm)                      # [cap, GRAD_W, T_pos]
 
-    # reduce per-entry grads to per-gaussian: gather each PAIR's grad row
-    # (slot, tile) from the [cap, T, W]-flattened tensor, then one
-    # segment-sum over the pair list (half the rows of an entries-shaped
-    # scatter-add, and gathers beat scatters on TPU)
-    num_tiles = Tf.shape[1]
-    gT = jnp.transpose(grad, (0, 2, 1)).reshape(-1, pb.GRAD_W)
+    # reduce per-entry grads to per-gaussian in two moves:
+    # 1. [cap, W, T] -> sorted-pair-compact [n_pairs, W] with ONE window
+    #    scatter-add: each tile's [cap, W] slab lands at its t_start (tile
+    #    ranges are contiguous in the sorted pair list; slots beyond the
+    #    tile count are zeroed, so the overlap into the next tile's range
+    #    adds zeros). 1024 big windows beat 524K random row gathers ~4x
+    #    on TPU (gathers/scatters are row-latency-bound).
+    # 2. one segment-sum over the pair list keyed by gaussian id.
     n_pairs = gauss_sorted.shape[0]
-    k = jnp.arange(n_pairs, dtype=jnp.int32)
-    tile_k = jnp.minimum(tile_sorted, num_tiles - 1)
-    slot_k = k - t_start[tile_k]
-    pair_ok = (tile_sorted < num_tiles) & (slot_k >= 0) & (slot_k < cap)
-    rows = jnp.clip(slot_k, 0, cap - 1) * num_tiles + tile_k
-    pair_grad = jnp.where(pair_ok[:, None], gT[rows], 0.0)
+    gradT = jnp.transpose(grad, (2, 0, 1))      # [T_pos, cap, W]
+    slot_iota = jnp.arange(cap, dtype=jnp.int32)
+    maskT = slot_iota[None, :] < counts_p[:, None]
+    gradT = jnp.where(maskT[..., None], gradT, 0.0)
+    starts_p = jnp.minimum(t_start[perm], n_pairs)
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+    buf = lax.scatter_add(
+        jnp.zeros((n_pairs + cap, pb.GRAD_W), jnp.float32),
+        starts_p[:, None], gradT, dnums)
+    pair_grad = buf[:n_pairs]
+    pair_ok = tile_sorted < Tf.shape[1]
     seg = jnp.where(pair_ok, gauss_sorted, n)
     sums = jax.ops.segment_sum(pair_grad, seg, n + 1)[:n]   # [n, GRAD_W]
     d_mean2d = sums[:, 0:2]
@@ -112,8 +143,8 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
 
     zero = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
     return (d_mean2d, d_conic, d_depth, d_color, d_opac, d_bg,
-            zero((n_pairs,)), zero((n_pairs,)), zero(counts.shape),
-            zero(counts.shape))
+            zero((n_pairs,)), zero((n_pairs,)), zero(counts_p.shape),
+            zero(counts_p.shape))
 
 
 tile_blend_pallas.defvjp(_fwd, _bwd)

@@ -336,11 +336,11 @@ def rasterize_tiles(proj: ProjectedSplats,
     n = proj.mean2d.shape[0]
     gx, gy = (-(-W // tile), -(-H // tile))
     if pair_capacity is None:
-        # per-tile lists keep the nearest tile_capacity splats by depth, so
-        # oversubscription degrades gracefully THERE — but pairs dropped at
-        # the pair buffer are dropped by gaussian id, which is destructive.
-        # Budget 2x the total tile capacity (big early-training splats can
-        # demand ~10x the tile budget); overflow is reported in TileBins.
+        # Overflow is depth-aware at BOTH levels (ops.tiles depth pre-sort):
+        # pairs beyond pair_capacity drop the farthest Gaussians, per-tile
+        # lists keep the nearest tile_capacity splats. Budget 2x the total
+        # tile capacity (big early-training splats can demand ~10x the tile
+        # budget); overflow is reported in TileBins.
         limit = 2 * gx * gy * tile_capacity
         want = 1 << max(16, int(np.ceil(np.log2(max(4 * n, 1)))))
         pair_capacity = max(1024, min(want, limit))

@@ -5,20 +5,28 @@ identifyTileRanges (reference submodules/depth-diff-gaussian-rasterization/
 cuda_rasterizer/rasterizer_impl.cu:70-138, 278-338) with an XLA-friendly
 formulation:
 
-1. Per-Gaussian tile rectangle (same rounding as getRect, auxiliary.h:46-56).
-2. Pair expansion into a *static-capacity* pair buffer: pair slot k maps to
-   (gaussian, local tile) via a searchsorted over the exclusive cumsum of
-   tiles_touched — no dynamic allocation, no scatter.
-3. Stable lexicographic sort by (tile_id, depth) via jax.lax.sort with two
-   keys — exactly the CUDA 64-bit key order (tile<<32 | float_bits(depth)),
-   including the tie-break by original pair order (both sorts are stable and
-   pairs are emitted in Gaussian-id order).
-4. Tile ranges via searchsorted, then a fixed-capacity per-tile gather.
+1. Global DEPTH PRE-SORT of the Gaussians (N elements, payload = original
+   id). Pairs are then emitted in front-to-back order, so:
+   - the per-tile order after a stable single-key sort by tile id is
+     exactly the CUDA 64-bit (tile<<32 | float_bits(depth)) key order
+     (ties between equal depths keep emission order, matching the CUDA
+     radix sort's stability over the id-ordered duplicateWithKeys output);
+   - overflow beyond ``pair_capacity`` drops the FARTHEST Gaussians first
+     (the CUDA kernel never overflows — it reallocates; a static buffer
+     must truncate, and depth-ordered truncation degrades gracefully,
+     unlike the id-ordered truncation this replaces);
+   - per-tile truncation at ``tile_capacity`` likewise keeps the nearest
+     splats.
+2. Per-Gaussian tile rectangle (same rounding as getRect, auxiliary.h:46-56).
+3. Pair expansion into a *static-capacity* pair buffer: pair slot k maps to
+   (gaussian, local tile) via a marker-scatter + running-max over the
+   exclusive cumsum of tiles_touched — no dynamic allocation.
+4. Stable single-key sort by tile id (jax.lax.sort).
+5. Tile ranges via searchsorted, then a fixed-capacity per-tile gather.
 
-Overflow policy: pairs beyond ``pair_capacity`` and per-tile entries beyond
-``tile_capacity`` are dropped back-to-front in depth order is NOT guaranteed
-for pair overflow (it truncates by Gaussian id), so capacities must be sized
-generously; both overflow counts are returned for diagnostics.
+TPU note: the prefix sums here use a matmul formulation (lower-triangular
+ones on the MXU) — XLA's native 1D cumsum/cummax lowering costs ~4 ms at
+these sizes on a v5e, the two-level matmul form ~0.1 ms.
 """
 from __future__ import annotations
 
@@ -54,6 +62,52 @@ def pltpu_bitcast_f32_to_i32(x: jnp.ndarray) -> jnp.ndarray:
     return lax.bitcast_convert_type(x, jnp.int32)
 
 
+def cumsum_f32_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum of a 1D f32 array of small non-negative ints.
+
+    Two-level matmul scan: rows of 128 against a triangular ones matrix on
+    the MXU (HIGHEST precision — exact for integer-valued f32 < 2^24),
+    with a recursive carry of row totals. ~40x faster than XLA's 1D
+    cumsum lowering on TPU at 10^5..10^6 elements.
+    """
+    P = x.shape[0]
+    C = 128
+    if P <= C:
+        return jnp.cumsum(x)
+    R = -(-P // C)
+    xp = jnp.pad(x, (0, R * C - P)).reshape(R, C)
+    tri = jnp.triu(jnp.ones((C, C), x.dtype))          # tri[k,j]=1 for k<=j
+    within = jnp.matmul(xp, tri, precision=lax.Precision.HIGHEST)
+    carry_incl = cumsum_f32_exact(within[:, -1])       # [R] inclusive
+    carry = carry_incl - within[:, -1]                 # exclusive (exact)
+    return (within + carry[:, None]).reshape(-1)[:P]
+
+
+def cummax_1d(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix max of a 1D array, two-level formulation.
+
+    Row-wise cummax on [R, 128] (7 lane-shift passes) + a short carry
+    cummax over the R row maxima — much cheaper than XLA's flat-1D
+    lowering at >10^5 elements.
+    """
+    P = x.shape[0]
+    C = 128
+    if P <= 4 * C:
+        return lax.cummax(x)
+    R = -(-P // C)
+    pad_val = x.flatten()[0:1] * 0 + (
+        jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min)
+    xp = jnp.concatenate([x, jnp.broadcast_to(pad_val, (R * C - P,))])
+    xm = xp.reshape(R, C)
+    within = lax.cummax(xm, axis=1)
+    row_max = within[:, -1]                            # [R]
+    carry_incl = cummax_1d(row_max)
+    # exclusive shift: carry[r] = max over rows < r
+    carry = jnp.concatenate([pad_val, carry_incl[:-1]])
+    return jnp.maximum(within, carry[:, None]).reshape(-1)[:P]
+
+
 def compute_tile_rects(proj: ProjectedSplats, W: int, H: int, tile: int):
     """Per-Gaussian clamped tile rectangle [x0,x1)x[y0,y1) + touched count."""
     gx, gy = tile_grid(W, H, tile)
@@ -68,6 +122,20 @@ def compute_tile_rects(proj: ProjectedSplats, W: int, H: int, tile: int):
     y1 = jnp.clip(jnp.floor((y + r + tile - 1) / tile), 0, gy).astype(jnp.int32)
     touched = jnp.where(proj.valid, (x1 - x0) * (y1 - y0), 0)
     return x0, y0, x1, y1, touched
+
+
+def depth_order(proj: ProjectedSplats) -> jnp.ndarray:
+    """Front-to-back Gaussian order: argsort of depth, invalid last.
+
+    Stable, so equal depths keep id order — together with the stable tile
+    sort this reproduces the CUDA (tile, depth-bits, emission-order) key
+    exactly (rasterizer_impl.cu:70-111 + cub stable radix sort).
+    """
+    n = proj.depth.shape[0]
+    key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    _, order = lax.sort((key, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+                        is_stable=True)
+    return order
 
 
 def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
@@ -88,31 +156,35 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
             counts=jnp.zeros((num_tiles,), jnp.int32))
 
     x0, y0, x1, _y1, touched = compute_tile_rects(proj, W, H, tile)
-    # f32 scans: integer scans are slow on the TPU VPU, and every quantity
-    # here fits exactly in f32 (counts < 2^24)
-    offsets = jnp.cumsum(touched.astype(jnp.float32)).astype(jnp.int32)
-    total = offsets[-1]
-    starts = offsets - touched                         # exclusive cumsum
+    order = depth_order(proj)                          # [n] original ids
 
-    # pair slot k -> owning gaussian. Equivalent to
+    # per-gaussian pair data in depth order, gathered as ONE packed row
+    # gather (separate gathers+concat cost ~4x at this size)
+    width = jnp.maximum(x1 - x0, 1)
+    packed = jnp.stack([x0, y0, width, touched], -1)   # [n, 4] int32
+    ps = packed[order]                                 # [n, 4] depth order
+    touched_s = ps[:, 3]
+
+    offsets = cumsum_f32_exact(touched_s.astype(jnp.float32)).astype(jnp.int32)
+    total = offsets[-1]
+    starts = offsets - touched_s                       # exclusive cumsum
+
+    # pair slot k -> owning RANK (depth-order index). Equivalent to
     # searchsorted(offsets, k, 'right') but O(P) scatter + cummax instead of
     # P binary searches (searchsorted was ~100ms at 800K pairs on TPU):
-    # drop a marker (gauss_id + 1) at each gaussian's start slot and take
-    # the running max; slots before the first marker clamp to gaussian 0.
-    gid = jnp.arange(n, dtype=jnp.int32)
+    # drop a marker (rank + 1) at each rank's start slot and take the
+    # running max; slots before the first marker clamp to rank 0.
+    rid = jnp.arange(n, dtype=jnp.int32)
     markers = jnp.zeros((pair_capacity,), jnp.float32).at[
-        jnp.where(touched > 0, starts, pair_capacity)].max(
-        (gid + 1).astype(jnp.float32), mode='drop')
-    gauss_c = jnp.maximum(
-        jax.lax.cummax(markers).astype(jnp.int32) - 1, 0)
+        jnp.where(touched_s > 0, starts, pair_capacity)].max(
+        (rid + 1).astype(jnp.float32), mode='drop')
+    rank_c = jnp.maximum(cummax_1d(markers).astype(jnp.int32) - 1, 0)
 
-    # one packed gather for all per-gaussian pair data (5 separate row
-    # gathers cost ~4x more than one 5-column gather at this size)
-    width = jnp.maximum(x1 - x0, 1)
-    packed = jnp.stack(
-        [starts, x0, y0, width,
-         pltpu_bitcast_f32_to_i32(proj.depth)], -1)     # [n, 5] int32
-    pg = packed[gauss_c]                                # [P_cap, 5]
+    # one packed per-pair gather; carries the ORIGINAL id as a column so no
+    # second 524K-gather is needed to map ranks back (measured ~5 ms saved)
+    pg = jnp.concatenate(
+        [starts[:, None], ps[:, :3], order[:, None]], -1)[rank_c]  # [P, 5]
+    gauss_o = pg[:, 4]
 
     k = jnp.arange(pair_capacity, dtype=jnp.int32)
     local = k - pg[:, 0]
@@ -127,13 +199,11 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     ty = pg[:, 2] + q
     pair_valid = k < total
     tile_id = jnp.where(pair_valid, ty * gx + tx, num_tiles).astype(jnp.int32)
-    # sort by (tile, depth): depth compared via its f32 bit pattern, which
-    # is order-preserving for the positive depths that survive culling
-    depth_bits = jnp.where(pair_valid, pg[:, 4], jnp.int32(0x7F800000))
 
-    # stable two-key sort: (tile, depth); ties keep pair order (gaussian id).
-    tile_s, _depth_s, gauss_s = lax.sort(
-        (tile_id, depth_bits, gauss_c), num_keys=2, is_stable=True)
+    # stable single-key sort by tile; emission order IS depth order, so
+    # within a tile pairs come out front-to-back.
+    tile_s, gauss_s = lax.sort((tile_id, gauss_o), num_keys=1,
+                               is_stable=True)
 
     # tile ranges: 1K binary searches over the sorted pair list (cheap;
     # the scatter-min formulation serializes on collisions and costs 3x)

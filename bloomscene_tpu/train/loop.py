@@ -240,6 +240,18 @@ class Trainer:
             if it % log_every == 0 or it == iterations:
                 rec = {k: float(v) for k, v in metrics._asdict().items()}
                 rec['iteration'] = it
+                if rec['pair_overflow'] > 0 or rec['tile_overflow'] > 0:
+                    # truncation is depth-aware (ops/tiles.py: farthest
+                    # splats dropped first) but still lossy — tell the user
+                    # to raise the capacities if it persists
+                    import warnings
+                    warnings.warn(
+                        f"rasterizer capacity overflow at step {it}: "
+                        f"pair_overflow={int(rec['pair_overflow'])} "
+                        f"tile_overflow={int(rec['tile_overflow'])} — "
+                        "farthest splats are being dropped; consider raising "
+                        "GSConfig.pair_capacity/max_splats_per_tile",
+                        RuntimeWarning, stacklevel=2)
                 if info:
                     rec.update({f'densify_{k}': v for k, v in info.items()
                                 if not isinstance(v, bool)})

@@ -139,6 +139,34 @@ def test_tile_capacity_overflow_reported(rng):
     assert np.all(np.isfinite(np.asarray(out.color)))
 
 
+def test_pair_overflow_drops_farthest_first(rng):
+    """Pair-buffer truncation is depth-aware: the NEAREST splats survive
+    (depth pre-sort in ops.tiles — the CUDA reference reallocates instead,
+    rasterizer_impl.cu:198-216; a static buffer must truncate)."""
+    means, scales, quats, colors, opac = random_scene(rng, 200)
+    proj = project(means, scales, quats)
+    full = bin_splats(proj, W, H, TILE, pair_capacity=8192,
+                      tile_capacity=256)
+    assert int(full.pair_overflow) == 0
+    trunc_cap = int(full.num_pairs) // 2
+    trunc = bin_splats(proj, W, H, TILE, pair_capacity=trunc_cap,
+                       tile_capacity=256)
+    assert int(trunc.pair_overflow) > 0
+    depth = np.asarray(proj.depth)
+    kept = np.asarray(trunc.gauss_sorted)[
+        np.asarray(trunc.tile_sorted) < (W // TILE) * (H // TILE)]
+    dropped_pairs = int(full.num_pairs) - len(kept)
+    assert dropped_pairs > 0
+    # every kept pair's gaussian must be nearer than the farthest-surviving
+    # depth threshold: max kept depth <= min depth among gaussians that
+    # lost all their pairs
+    full_ids = np.asarray(full.gauss_sorted)[
+        np.asarray(full.tile_sorted) < (W // TILE) * (H // TILE)]
+    lost_ids = set(full_ids.tolist()) - set(kept.tolist())
+    if lost_ids:
+        assert depth[kept].max() <= depth[np.array(sorted(lost_ids))].min() + 1e-6
+
+
 def test_jit_and_shapes(rng):
     means, scales, quats, colors, opac = random_scene(rng, 30)
 
