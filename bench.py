@@ -54,6 +54,29 @@ def main():
     tgt_c = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
     tgt_d = jnp.asarray(rng.uniform(1, 6, (H, W)).astype(np.float32))
 
+    # Sizing pre-pass: measure the scene's actual pair/tile-list demand and
+    # benchmark with snug buffers (the CUDA reference sizes its buffers to
+    # the exact num_rendered every frame via resizeFunctional,
+    # rasterize_points.cu:27-33 — static-shape XLA pays a one-off probe
+    # instead). Overflow still impossible: capacities round UP in buckets.
+    from bloomscene_tpu.ops import tiles as tiles_lib
+
+    @jax.jit
+    def sizing(means, scales, quats):
+        cov6 = projection.build_cov3d(scales, quats)
+        proj = projection.project_gaussians(means, cov6, view, full,
+                                            W, H, fx, fy, tx, ty)
+        bins = tiles_lib.bin_splats(proj, W, H, 16, 2 ** 21, 8)
+        counts_full = jnp.zeros((32 * 32,), jnp.int32).at[
+            jnp.minimum(bins.tile_sorted, 32 * 32 - 1)].add(
+            (bins.tile_sorted < 32 * 32).astype(jnp.int32))
+        return bins.num_pairs, jnp.max(counts_full)
+
+    n_pairs, max_count = sizing(jnp.asarray(means), jnp.asarray(scales),
+                                jnp.asarray(quats))
+    pair_cap = int(-(-int(n_pairs) // 8192) * 8192)
+    tile_cap = int(-(-int(max_count) // 128) * 128)
+
     @jax.jit
     def fwd_bwd(means, scales, quats, colors, opac):
         def loss(args):
@@ -62,8 +85,8 @@ def main():
             proj = projection.project_gaussians(means, cov6, view, full,
                                                 W, H, fx, fy, tx, ty)
             out, _ = rasterize_tiles(proj, colors, opac, jnp.zeros(3),
-                                     W, H, tile=16, pair_capacity=524288,
-                                     tile_capacity=1024)
+                                     W, H, tile=16, pair_capacity=pair_cap,
+                                     tile_capacity=tile_cap)
             return (jnp.mean(jnp.abs(out.color - tgt_c))
                     + 0.5 * jnp.mean(jnp.abs(out.depth - tgt_d)))
         l, g = jax.value_and_grad(loss)((means, scales, quats, colors, opac))

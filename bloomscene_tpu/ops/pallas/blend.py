@@ -39,6 +39,9 @@ from ..reference_rasterizer import (ACC_SEED, ALPHA_MAX, ALPHA_MIN,
 
 GROUP_TILES = 128    # tiles per program (lane dim; must be 128-multiple)
 CAP_CHUNK = 128      # splats streamed per grid step (VMEM budget bound)
+BWD_CAP_CHUNK = 64   # smaller bwd chunks: the grad out block doubles the
+                     # per-chunk VMEM footprint vs the fwd kernel
+BWD_UNROLL = 2
 INTERPRET = False    # set True to run kernels in interpreter mode (CPU)
 DATA_W = 16          # packed attrs: mx,my,ca,cb,cc,op,de,r,g,b,valid,pad*5
 GRAD_W = 16          # per-entry grads: dmx,dmy,dca,dcb,dcc,dop,dde,dr,dg,db
@@ -96,11 +99,11 @@ def tid_rows(tid, num_tiles: int) -> jnp.ndarray:
     return jnp.broadcast_to(tid.astype(jnp.int32)[None, :], (8, num_tiles))
 
 
-def _group_geometry(num_tiles: int, cap: int):
+def _group_geometry(num_tiles: int, cap: int, cap_chunk: int = CAP_CHUNK):
     gt = GROUP_TILES
     while num_tiles % gt:
         gt //= 2
-    cc = min(CAP_CHUNK, cap)
+    cc = min(cap_chunk, cap)
     while cap % cc:
         cc //= 2
     return gt, num_tiles // gt, cc, cap // cc
@@ -152,35 +155,45 @@ def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
     n_here = jnp.where(jnp.all(sDone[...] > 0.5), 0, n_here)
     cnt = counts_ref[0:1, :]                    # [1, GT]
 
-    def body(j, carry):
+    # UNROLL x4: the expensive per-splat work (power, exp) has no serial
+    # dependency — only the cheap transmittance chain does. Unrolling
+    # breaks the per-splat latency chain the rolled loop serializes on.
+    U = 4
+
+    def body(i, carry):
         T, Cr, Cg, Cb, D, acc, done, ncon = carry
-        row = data_ref[j]                       # [DATA_W, GT]
-        (mx, my, ca, cb, ccn, op, de, cr, cg, cbl) = _split_row(row)
-        vld = (c * cc + j) < cnt                # entry lists front-packed
-        dx = mx - px
-        dy = my - py
-        power = -0.5 * (ca * dx * dx + ccn * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-        ok = (vld & (power <= 0.0) & (alpha >= ALPHA_MIN)
-              & (done < 0.5))
-        test_T = T * (1.0 - alpha)
-        term = ok & (test_T < T_EPS)
-        blend = ok & ~term
-        done = jnp.where(term, 1.0, done)
-        w = jnp.where(blend, alpha * T, 0.0)
-        Cr = Cr + w * cr
-        Cg = Cg + w * cg
-        Cb = Cb + w * cbl
-        D = D + w * de
-        acc = acc + w
-        T = jnp.where(blend, test_T, T)
-        ncon = jnp.where(blend, c * cc + j + 1, ncon)
+        base = i * U
+        pre = []
+        for u in range(U):
+            row = data_ref[base + u]            # [DATA_W, GT]
+            (mx, my, ca, cb, ccn, op, de, cr, cg, cbl) = _split_row(row)
+            vld = (c * cc + base + u) < cnt     # entry lists front-packed
+            dx = mx - px
+            dy = my - py
+            power = -0.5 * (ca * dx * dx + ccn * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+            ok_u = vld & (power <= 0.0) & (alpha >= ALPHA_MIN)
+            pre.append((ok_u, alpha, de, cr, cg, cbl))
+        for u, (ok_u, alpha, de, cr, cg, cbl) in enumerate(pre):
+            ok = ok_u & (done < 0.5)
+            test_T = T * (1.0 - alpha)
+            term = ok & (test_T < T_EPS)
+            blend = ok & ~term
+            done = jnp.where(term, 1.0, done)
+            w = jnp.where(blend, alpha * T, 0.0)
+            Cr = Cr + w * cr
+            Cg = Cg + w * cg
+            Cb = Cb + w * cbl
+            D = D + w * de
+            acc = acc + w
+            T = jnp.where(blend, test_T, T)
+            ncon = jnp.where(blend, c * cc + base + u + 1, ncon)
         return (T, Cr, Cg, Cb, D, acc, done, ncon)
 
     init = (sT[...], sCr[...], sCg[...], sCb[...], sD[...], sAcc[...],
             sDone[...], sNcon[...])
     T, Cr, Cg, Cb, D, acc, done, ncon = jax.lax.fori_loop(
-        0, n_here, body, init)
+        0, (n_here + U - 1) // U, body, init)
     sT[...] = T
     sCr[...] = Cr
     sCg[...] = Cg
@@ -276,70 +289,91 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
     n_here = jnp.clip(gmax_ref[g] - chunk * cc, 0, cc)
     cnt = counts_ref[0:1, :]
 
-    def body(jj, carry):
+    # UNROLL x2 back-to-front: blocks walk from the top; within a block the
+    # heavy per-splat work (power/exp/gdx) is hoisted into a parallel
+    # section, the serial T/accum recurrence stays per-splat. Rows in
+    # [n_here, ceil-padded top) fail the blended test and write zeros.
+    # (x2, not x4: the live per-u temporaries of this kernel hit the
+    # ~16 MB VMEM scoped limit at x4.)
+    U = BWD_UNROLL
+    n_blocks = (n_here + U - 1) // U
+
+    def body(ii, carry):
+        jbase = (n_blocks - 1 - ii) * U
+        pre = []
+        for u in range(U):
+            j = jbase + u
+            row = data_ref[j]
+            (mx, my, ca, cb, ccn, op, de, cr, cg, cbl) = _split_row(row)
+            vld = (chunk * cc + j) < cnt
+            dx = mx - px
+            dy = my - py
+            power = -0.5 * (ca * dx * dx + ccn * dy * dy) - cb * dx * dy
+            G = jnp.exp(power)
+            oG = op * G
+            alpha = jnp.minimum(ALPHA_MAX, oG)
+            blended = (vld & (power <= 0.0) & (alpha >= ALPHA_MIN)
+                       & (chunk * cc + j < ncon))
+            gdx = G * dx
+            gdy = G * dy
+            pre.append((alpha, oG, blended, op, de, cr, cg, cbl,
+                        ca, cb, ccn, dx, dy, G, gdx, gdy))
+
         (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld) = carry
-        j = n_here - 1 - jj          # chunk-local, descending
-        row = data_ref[j]
-        (mx, my, ca, cb, ccn, op, de, cr, cg, cbl) = _split_row(row)
-        vld = (chunk * cc + j) < cnt
-        dx = mx - px
-        dy = my - py
-        power = -0.5 * (ca * dx * dx + ccn * dy * dy) - cb * dx * dy
-        G = jnp.exp(power)
-        oG = op * G
-        alpha = jnp.minimum(ALPHA_MAX, oG)
-        blended = (vld & (power <= 0.0) & (alpha >= ALPHA_MIN)
-                   & (chunk * cc + j < ncon))
-
-        T = jnp.where(blended, T / (1.0 - alpha), T)
-        w = jnp.where(blended, alpha * T, 0.0)
-
-        ar_r = jnp.where(blended, la * lr + (1 - la) * ar_r, ar_r)
-        ar_g = jnp.where(blended, la * lg + (1 - la) * ar_g, ar_g)
-        ar_b = jnp.where(blended, la * lb + (1 - la) * ar_b, ar_b)
-        ar_d = jnp.where(blended, la * ld + (1 - la) * ar_d, ar_d)
-        ar_1 = jnp.where(blended, la + (1 - la) * ar_1, ar_1)
-
-        dL_da = ((cr - ar_r) * ur + (cg - ar_g) * ug + (cbl - ar_b) * ub
-                 + (de - ar_d) * ud + (1.0 - ar_1) * uone)
-        dL_da = dL_da * T + jnp.where(
-            blended, (-Tf / (1.0 - alpha)) * bg_term, 0.0)
-        dL_da = jnp.where(blended, dL_da, 0.0)
-
-        unclamped = oG < ALPHA_MAX
-        dG = jnp.where(unclamped, op, 0.0) * dL_da
-        gdx = G * dx
-        gdy = G * dy
 
         def red(x):
             return jnp.sum(x, axis=0, keepdims=True)
 
-        out = jnp.concatenate([
-            red(dG * (-gdx * ca - gdy * cb)),           # d mx
-            red(dG * (-gdy * ccn - gdx * cb)),          # d my
-            red(-0.5 * gdx * dx * dG),                  # d ca
-            red(-gdx * dy * dG),                        # d cb
-            red(-0.5 * gdy * dy * dG),                  # d cc
-            red(jnp.where(unclamped, G, 0.0) * dL_da),  # d op
-            red(w * ud),                                # d depth
-            red(w * ur),                                # d r
-            red(w * ug),                                # d g
-            red(w * ub),                                # d b
-            jnp.zeros((GRAD_W - 10, gt), jnp.float32),
-        ], axis=0)                                      # [GRAD_W, GT]
-        grad_ref[j] = out
+        for u in reversed(range(U)):
+            (alpha, oG, blended, op, de, cr, cg, cbl,
+             ca, cb, ccn, dx, dy, G, gdx, gdy) = pre[u]
+            j = jbase + u
 
-        la = jnp.where(blended, alpha, la)
-        lr = jnp.where(blended, cr + 0 * lr, lr)
-        lg = jnp.where(blended, cg + 0 * lg, lg)
-        lb = jnp.where(blended, cbl + 0 * lb, lb)
-        ld = jnp.where(blended, de + 0 * ld, ld)
+            T = jnp.where(blended, T / (1.0 - alpha), T)
+            w = jnp.where(blended, alpha * T, 0.0)
+
+            ar_r = jnp.where(blended, la * lr + (1 - la) * ar_r, ar_r)
+            ar_g = jnp.where(blended, la * lg + (1 - la) * ar_g, ar_g)
+            ar_b = jnp.where(blended, la * lb + (1 - la) * ar_b, ar_b)
+            ar_d = jnp.where(blended, la * ld + (1 - la) * ar_d, ar_d)
+            ar_1 = jnp.where(blended, la + (1 - la) * ar_1, ar_1)
+
+            dL_da = ((cr - ar_r) * ur + (cg - ar_g) * ug
+                     + (cbl - ar_b) * ub
+                     + (de - ar_d) * ud + (1.0 - ar_1) * uone)
+            dL_da = dL_da * T + jnp.where(
+                blended, (-Tf / (1.0 - alpha)) * bg_term, 0.0)
+            dL_da = jnp.where(blended, dL_da, 0.0)
+
+            unclamped = oG < ALPHA_MAX
+            dG = jnp.where(unclamped, op, 0.0) * dL_da
+
+            out = jnp.concatenate([
+                red(dG * (-gdx * ca - gdy * cb)),           # d mx
+                red(dG * (-gdy * ccn - gdx * cb)),          # d my
+                red(-0.5 * gdx * dx * dG),                  # d ca
+                red(-gdx * dy * dG),                        # d cb
+                red(-0.5 * gdy * dy * dG),                  # d cc
+                red(jnp.where(unclamped, G, 0.0) * dL_da),  # d op
+                red(w * ud),                                # d depth
+                red(w * ur),                                # d r
+                red(w * ug),                                # d g
+                red(w * ub),                                # d b
+                jnp.zeros((GRAD_W - 10, gt), jnp.float32),
+            ], axis=0)                                      # [GRAD_W, GT]
+            grad_ref[j] = out
+
+            la = jnp.where(blended, alpha, la)
+            lr = jnp.where(blended, cr + 0 * lr, lr)
+            lg = jnp.where(blended, cg + 0 * lg, lg)
+            lb = jnp.where(blended, cbl + 0 * lb, lb)
+            ld = jnp.where(blended, de + 0 * ld, ld)
         return (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld)
 
     init = (sT[...], sArR[...], sArG[...], sArB[...], sArD[...], sAr1[...],
             sLa[...], sLr[...], sLg[...], sLb[...], sLd[...])
     (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld) = \
-        jax.lax.fori_loop(0, n_here, body, init)
+        jax.lax.fori_loop(0, n_blocks, body, init)
     sT[...] = T
     sArR[...] = ar_r
     sArG[...] = ar_g
@@ -365,7 +399,8 @@ def blend_backward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
     (grad blocks are zeroed unconditionally)."""
     cap, _, num_tiles = splat_data.shape
     P = tile * tile
-    gt, n_groups, cc, n_chunks = _group_geometry(num_tiles, cap)
+    gt, n_groups, cc, n_chunks = _group_geometry(num_tiles, cap,
+                                                 BWD_CAP_CHUNK)
     walk = jnp.minimum(counts, jnp.max(ncon, axis=0))
     gmax = jnp.max(walk.reshape(n_groups, gt), axis=1).astype(jnp.int32)
     if tid is None:

@@ -74,9 +74,58 @@ class BloomScene:
         self.traindata: Optional[dict] = None
         self.scene: Optional[SceneData] = None
         self.model: Optional[Model] = None
+        self.decoded_model: Optional[Model] = None
         self.trainer: Optional[Trainer] = None
         self.logs: list[dict] = []
         os.makedirs(save_dir, exist_ok=True)
+
+    # ---- cold-start: rebuild a renderable scene from disk ----
+    @classmethod
+    def load(cls, save_dir: str, cfg: Optional[GSConfig] = None,
+             cam: Optional[CameraConfig] = None, seed: int = 1
+             ) -> "BloomScene":
+        """Reload a previously saved run in a FRESH process.
+
+        The reference reloads the MLP checkpoint before its eval renders
+        (bloomscene.py:411-421, load_mlp_checkpoints); here the whole
+        renderable state comes back from disk: MLP heads + hash grids +
+        anchor bounds from ``checkpoint.npz``, per-anchor state from the
+        compressed ``bitstreams/`` (decoded-mode renders) and/or
+        ``gsplat.ply`` (eval-mode renders), preset/eval cameras from the
+        cached ``traindata.npz``.
+        """
+        self = cls(save_dir, cfg=cfg, cam=cam, seed=seed)
+        ck_path = os.path.join(save_dir, 'checkpoint.npz')
+        if not os.path.exists(ck_path):
+            raise FileNotFoundError(f"no checkpoint.npz in {save_dir}")
+        # shell with the right head/grid shapes; weights swapped from disk
+        shell, _ = init_model(jax.random.PRNGKey(seed),
+                              np.zeros((8, 3), np.float32), self.cfg)
+        like = {'heads': shell.heads, 'grid': shell.grid,
+                'bounds': shell.bounds}
+        ck = io_utils.load_checkpoint(ck_path, like)
+        shell = shell._replace(heads=ck['heads'], grid=ck['grid'],
+                               bounds=ck['bounds'])
+
+        bit_dir = os.path.join(save_dir, 'bitstreams')
+        if os.path.exists(os.path.join(bit_dir, 'meta.json')):
+            self.decoded_model = decode_scene(shell, self.cfg, bit_dir)
+            self.model = self.decoded_model
+        ply = os.path.join(save_dir, 'gsplat.ply')
+        if os.path.exists(ply):
+            state = io_utils.load_anchor_ply(ply, self.cfg.n_offsets,
+                                             self.cfg.feat_dim)
+            self.model = shell._replace(state=state)
+        if self.model is None:
+            raise FileNotFoundError(
+                f"neither bitstreams/ nor gsplat.ply found in {save_dir}")
+
+        cache = os.path.join(save_dir, 'traindata.npz')
+        if os.path.exists(cache):
+            self.traindata = _load_traindata(cache)
+            self.scene = read_scene_data(self.traindata,
+                                         self.cfg.white_background)
+        return self
 
     # ---- stage 1: progressive generation ----
     def generate(self, rgb_cond: np.ndarray, prompt: str,

@@ -15,13 +15,19 @@ import os
 
 import numpy as np
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description='BloomScene-TPU')
     # input
     p.add_argument('--image', '-img', type=str,
-                   default='examples/01_childroom.png')
-    p.add_argument('--text', '-t', type=str, default='a cozy room')
+                   default=os.path.join(_REPO_ROOT, 'examples',
+                                        '01_childroom.png'))
+    p.add_argument('--text', '-t', type=str,
+                   default=os.path.join(_REPO_ROOT, 'examples',
+                                        '01_childroom.txt'))
     p.add_argument('--neg_text', '-nt', type=str, default='')
     # camera
     p.add_argument('--campath_gen', '-cg', type=str, default='rotate360',
@@ -59,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--voxel_size', type=float, default=None,
                    help='anchor voxel size (default: config 0.001; larger '
                         '= fewer anchors)')
+    p.add_argument('--load_dir', type=str, default='',
+                   help='cold-start: skip generation/training and re-render '
+                        'a previously saved run from its checkpoint.npz + '
+                        'bitstreams/gsplat.ply (render_sets equivalent, '
+                        'reference bloomscene.py:411-421)')
     return p
 
 
@@ -70,6 +81,21 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     np.random.seed(args.seed)
+
+    if args.load_dir:
+        txt = args.text
+        if txt.endswith('.txt') and os.path.exists(txt):
+            txt = open(txt).readline().strip()
+        bs = BloomScene.load(args.load_dir)
+        if args.render_frames < 180 and bs.scene is not None:
+            pk = args.campath_render
+            stride = max(1, 180 // args.render_frames)
+            bs.scene = bs.scene._replace(preset_cameras={
+                pk: bs.scene.preset_cameras[pk][::stride]})
+        print('video:', bs.render_video(
+            args.campath_render, use_decoded=bs.decoded_model is not None))
+        print('eval:', bs.render_eval(txt))
+        return
 
     if args.save_dir == '':
         img_name = os.path.splitext(os.path.basename(args.image))[0]

@@ -96,6 +96,21 @@ def test_full_pipeline_smoke(tmp_path, tiny_cam):
     ev = bs.render_eval("a colorful room")
     assert 'proxy_sharpness' in ev
 
+    # cold start: a FRESH BloomScene rebuilt purely from disk artifacts
+    # (checkpoint.npz + bitstreams + gsplat.ply + traindata cache) must
+    # render the decoded scene (reference bloomscene.py:411-421)
+    bs2 = BloomScene.load(str(tmp_path / "out"), cfg=cfg, cam=tiny_cam)
+    assert bs2.decoded_model is not None and bs2.scene is not None
+    bs2.scene = bs2.scene._replace(preset_cameras={
+        'rotate360': bs2.scene.preset_cameras['rotate360'][:2]})
+    info2 = bs2.render_video('rotate360', use_decoded=True)
+    assert info2['n_frames'] == 2
+    # decoded state reloaded from the bitstream must match the in-memory
+    # decoded model bit-for-bit (codec is deterministic)
+    np.testing.assert_array_equal(
+        np.asarray(bs2.decoded_model.state.anchor),
+        np.asarray(bs.decoded_model.state.anchor))
+
 
 def test_io_roundtrips(tmp_path):
     from bloomscene_tpu.utils import io as io_utils
