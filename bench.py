@@ -9,6 +9,12 @@ reduction to all Gaussian parameters) of a 512x512 view with 100K splats.
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); we use a
 nominal 40 Mpix/s estimate for the reference CUDA rasterizer fwd+bwd at
 this size on its era GPU as the comparison point.
+
+``python bench.py --verify``: on-device CORRECTNESS gate instead of
+timing — runs the COMPILED (non-interpret) Mosaic kernels and the XLA
+blend on the same scene and prints max-abs output/gradient differences
+(the CPU test suite exercises the kernels only in interpreter mode; a
+Mosaic miscompile would pass CI, so this catches it on the real chip).
 """
 from __future__ import annotations
 
@@ -113,5 +119,80 @@ def main():
     }))
 
 
+def verify(n: int = 20_000, res: int = 256):
+    """Compiled-Pallas vs XLA-blend parity on the real device."""
+    import jax
+    import jax.numpy as jnp
+    from bloomscene_tpu.ops import projection
+    from bloomscene_tpu.ops.tile_rasterizer import rasterize_tiles
+    from bloomscene_tpu.ops import graphics
+
+    W = H = res
+    rng = np.random.default_rng(1)
+    means = np.stack([rng.uniform(-1.2, 1.2, n), rng.uniform(-1.2, 1.2, n),
+                      rng.uniform(0.5, 6.0, n)], -1).astype(np.float32)
+    scales = rng.uniform(0.002, 0.03, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, n).astype(np.float32))
+    tgt_c = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    tgt_d = jnp.asarray(rng.uniform(1, 5, (H, W)).astype(np.float32))
+
+    fovx = fovy = 1.0
+    view = jnp.asarray(graphics.world_to_view(np.eye(3), np.zeros(3)))
+    full = jnp.asarray(
+        np.asarray(graphics.projection_matrix(0.01, 100.0, fovx, fovy))
+        @ np.asarray(view))
+    fx = graphics.fov2focal(fovx, W)
+    fy = graphics.fov2focal(fovy, H)
+    tx = ty = float(np.tan(fovx / 2))
+
+    def run(backend):
+        def loss(args):
+            means, scales, quats, colors, opac = args
+            cov6 = projection.build_cov3d(scales, quats)
+            proj = projection.project_gaussians(means, cov6, view, full,
+                                                W, H, fx, fy, tx, ty)
+            out, _ = rasterize_tiles(proj, colors, opac, jnp.zeros(3),
+                                     W, H, tile=16, pair_capacity=262144,
+                                     tile_capacity=512, backend=backend)
+            l = (jnp.mean(jnp.abs(out.color - tgt_c))
+                 + 0.5 * jnp.mean(jnp.abs(out.depth - tgt_d)))
+            return l, out
+
+        args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                colors, opac)
+        (l, out), g = jax.jit(
+            lambda a: jax.value_and_grad(loss, has_aux=True)(a))(args)
+        return l, out, g
+
+    l_p, out_p, g_p = run('pallas')
+    l_x, out_x, g_x = run('xla')
+
+    def mad(a, b):
+        return float(jnp.max(jnp.abs(a - b)))
+
+    names = ['means', 'scales', 'quats', 'colors', 'opac']
+    report = {
+        "mode": "verify_pallas_vs_xla_on_device",
+        "n_splats": n, "res": res,
+        "loss_absdiff": abs(float(l_p) - float(l_x)),
+        "color_maxdiff": mad(out_p.color, out_x.color),
+        "depth_maxdiff": mad(out_p.depth, out_x.depth),
+        "grad_maxdiff": {nm: mad(a, b)
+                         for nm, a, b in zip(names, g_p, g_x)},
+    }
+    grads_ok = all(v < 2e-3 for v in report["grad_maxdiff"].values())
+    report["ok"] = bool(report["color_maxdiff"] < 1e-4
+                        and report["depth_maxdiff"] < 1e-3 and grads_ok)
+    print(json.dumps(report))
+    with open("VERIFY_TPU.json", "w") as f:
+        json.dump(report, f, indent=2)
+    return 0 if report["ok"] else 1
+
+
 if __name__ == "__main__":
+    if "--verify" in sys.argv:
+        sys.exit(verify())
     sys.exit(main())

@@ -270,12 +270,11 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str) -> Model:
 
     # hash tables first (context depends on them)
     hash_flat = all_grid_params_flat(model_shell.grid)
-    total_hash = hash_flat.shape[0] * hash_flat.shape[1]
+    total_hash = hash_flat.size
     with open(os.path.join(path, 'hash.b'), 'rb') as f:
         hash_bin = rans.decode_binary(f.read(), meta['prob_hash'],
                                       total_hash)
-    grid = _unflatten_grid(model_shell.grid,
-                           hash_bin.reshape(hash_flat.shape))
+    grid = _unflatten_grid(model_shell.grid, hash_bin.reshape(-1))
     bounds = AnchorBounds(
         x_min=jnp.asarray(np.array(meta['bounds_min'], np.float32)),
         x_max=jnp.asarray(np.array(meta['bounds_max'], np.float32)))
@@ -344,7 +343,7 @@ def _unflatten_grid(grid_template: dict, flat_bin: np.ndarray) -> dict:
     for key in ('xyz', 'xy', 'xz', 'yz'):
         t = np.asarray(grid_template[key])
         out[key] = jnp.asarray(
-            flat_bin[pos:pos + t.shape[0]].astype(np.float32))
-        pos += t.shape[0]
+            flat_bin[pos:pos + t.size].astype(np.float32))
+        pos += t.size
     assert pos == flat_bin.shape[0]
     return out

@@ -130,6 +130,12 @@ class GSConfig:
     # --- rasterizer (TPU tiling; reference uses 16x16 CUDA blocks) ---
     tile_size: int = 16
     max_splats_per_tile: int = 1024     # static per-tile capacity (XLA shapes)
+    # when set, decode/rasterize only a bounded bucket of VISIBLE anchors
+    # (gathered before decode, as the reference's visible_mask compaction,
+    # gaussian_renderer/__init__.py:33-44). Bounds per-step child-array
+    # memory/compute by visible_capacity*K instead of capacity*K — required
+    # for 500K+ anchor scenes; leave None for small scenes (dense decode).
+    visible_capacity: int | None = None
     # rematerialize the decode+render in the backward pass (trades ~30%
     # recompute for the per-child activation memory — required to fit
     # full-scale scenes in 16G HBM)

@@ -39,26 +39,121 @@ def capacity_bucket(n: int, granularity: int = 8192) -> int:
     return max(256, -(-n // granularity) * granularity)
 
 
-class AnchorState(NamedTuple):
-    anchor: jnp.ndarray
-    offset: jnp.ndarray
-    mask_logit: jnp.ndarray
-    feat: jnp.ndarray
-    scaling_log: jnp.ndarray
-    rotation: jnp.ndarray
-    opacity_raw: jnp.ndarray
-    alive: jnp.ndarray
+@jax.tree_util.register_pytree_node_class
+class AnchorState:
+    """Anchor state pytree whose LEAVES are flat 1D arrays.
 
+    TPU HBM tiles the two minor dims of every array to (8, 128): a
+    [C, 10, 3] offset buffer pads 68x, [C, 10, 1] masks 204x, [C, 3]
+    anchors 42x — with Adam moments that layout OOMs 16G HBM around
+    150K anchors. Flat [C*k] leaves pad to the next 1024 elements
+    (negligible), so the PERSISTENT buffers (params, grads, moments) are
+    tight; the 2D/3D views consumers read (``.anchor`` -> [C, 3], ...)
+    are reshape ops that fuse away inside jit. Constructor accepts either
+    the view shapes or flat arrays. Reference state layout this mirrors:
+    gaussian_model.py:171-186.
+    """
+    _fields = ('anchor', 'offset', 'mask_logit', 'feat', 'scaling_log',
+               'rotation', 'opacity_raw', 'alive')
+    # trailing elements per anchor for fixed-width fields
+    _widths = {'anchor': 3, 'scaling_log': 6, 'rotation': 4,
+               'opacity_raw': 1}
+
+    def __init__(self, anchor, offset, mask_logit, feat, scaling_log,
+                 rotation, opacity_raw, alive):
+        def flat(x):
+            return x.reshape(-1) if getattr(x, 'ndim', 0) > 1 else x
+        self._anchor = flat(anchor)
+        self._offset = flat(offset)
+        self._mask_logit = flat(mask_logit)
+        self._feat = flat(feat)
+        self._scaling_log = flat(scaling_log)
+        self._rotation = flat(rotation)
+        self._opacity_raw = flat(opacity_raw)
+        self._alive = alive
+
+    # --- pytree protocol ---
+    def tree_flatten(self):
+        return ((self._anchor, self._offset, self._mask_logit, self._feat,
+                 self._scaling_log, self._rotation, self._opacity_raw,
+                 self._alive), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = cls.__new__(cls)
+        (obj._anchor, obj._offset, obj._mask_logit, obj._feat,
+         obj._scaling_log, obj._rotation, obj._opacity_raw,
+         obj._alive) = leaves
+        return obj
+
+    # --- NamedTuple-compatible surface ---
+    def _replace(self, **kw):
+        vals = {f: getattr(self, '_' + f) for f in self._fields}
+        vals.update(kw)
+        return AnchorState(**vals)
+
+    def _asdict(self):
+        return {f: getattr(self, f) for f in self._fields}
+
+    # --- view accessors (reshapes; fused away under jit) ---
     @property
     def capacity(self) -> int:
-        return self.anchor.shape[0]
+        return self._alive.shape[0]
 
     @property
     def n_offsets(self) -> int:
-        return self.offset.shape[1]
+        return self._offset.size // (self.capacity * 3)
+
+    @property
+    def feat_dim(self) -> int:
+        return self._feat.size // self.capacity
+
+    def _view(self, name):
+        x = getattr(self, '_' + name)
+        if getattr(x, 'ndim', None) != 1:
+            return x                       # label/placeholder leaf
+        if name == 'offset':
+            return x.reshape(-1, self.n_offsets, 3)
+        if name == 'mask_logit':
+            return x.reshape(-1, self.n_offsets, 1)
+        if name == 'feat':
+            return x.reshape(-1, self.feat_dim)
+        return x.reshape(-1, self._widths[name])
+
+    @property
+    def anchor(self):
+        return self._view('anchor')
+
+    @property
+    def offset(self):
+        return self._view('offset')
+
+    @property
+    def mask_logit(self):
+        return self._view('mask_logit')
+
+    @property
+    def feat(self):
+        return self._view('feat')
+
+    @property
+    def scaling_log(self):
+        return self._view('scaling_log')
+
+    @property
+    def rotation(self):
+        return self._view('rotation')
+
+    @property
+    def opacity_raw(self):
+        return self._view('opacity_raw')
+
+    @property
+    def alive(self):
+        return self._alive
 
     def num_alive(self):
-        return jnp.sum(self.alive)
+        return jnp.sum(self._alive)
 
 
 class AnchorBounds(NamedTuple):

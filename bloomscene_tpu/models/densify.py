@@ -23,48 +23,71 @@ from .model import Model
 
 
 class DensifyStats(NamedTuple):
+    # offset stats are stored FLAT [C*K] (a [C, 10] f32 buffer pads 12.8x
+    # under TPU (8,128) tiling; these persist across the whole run)
     opacity_accum: jnp.ndarray      # [C]
     anchor_demon: jnp.ndarray       # [C]
-    offset_grad_accum: jnp.ndarray  # [C, K]
-    offset_denom: jnp.ndarray       # [C, K]
+    offset_grad_accum: jnp.ndarray  # [C*K]
+    offset_denom: jnp.ndarray       # [C*K]
 
 
 def init_stats(capacity: int, n_offsets: int) -> DensifyStats:
     return DensifyStats(
         opacity_accum=jnp.zeros((capacity,)),
         anchor_demon=jnp.zeros((capacity,)),
-        offset_grad_accum=jnp.zeros((capacity, n_offsets)),
-        offset_denom=jnp.zeros((capacity, n_offsets)))
+        offset_grad_accum=jnp.zeros((capacity * n_offsets,)),
+        offset_denom=jnp.zeros((capacity * n_offsets,)))
 
 
 def accumulate_stats(stats: DensifyStats, neural_opacity: jnp.ndarray,
                      child_valid: jnp.ndarray, splat_visible: jnp.ndarray,
                      anchor_visible: jnp.ndarray, mean2d_grad: jnp.ndarray,
-                     W: int, H: int) -> DensifyStats:
+                     W: int, H: int,
+                     anchor_idx: jnp.ndarray | None = None) -> DensifyStats:
     """training_statis equivalent (gaussian_model.py:742-759).
 
-    neural_opacity/child_valid/splat_visible/mean2d_grad are per child
-    [C*K(, .)]; anchor_visible is [C]. The viewspace gradient threshold in
-    the reference is in NDC-ish units (CUDA writes dL/dmean2D scaled by
-    0.5*W — backward.cu:473-475), so the pixel-space mean2d gradient is
-    rescaled by (W/2, H/2) before the norm.
+    neural_opacity/child_valid/splat_visible are per child [V*K];
+    mean2d_grad is the FLAT [V*K*2] cotangent of the mean2d_offset input.
+    Dense mode (anchor_idx None): V == C and anchor_visible is [C].
+    Compacted mode: anchor_idx [V] maps rows to anchor slots (== C for
+    padding; every real row is visible by construction) and contributions
+    scatter-add into the full-capacity stats. The viewspace gradient
+    threshold in the reference is in NDC-ish units (CUDA writes
+    dL/dmean2D scaled by 0.5*W — backward.cu:473-475), so the pixel-space
+    mean2d gradient is rescaled by (W/2, H/2) before the norm.
     """
-    C, K = stats.offset_grad_accum.shape
-    opac = jnp.maximum(neural_opacity, 0.0).reshape(C, K)
-    av = anchor_visible.astype(jnp.float32)
-    opacity_accum = stats.opacity_accum + av * jnp.sum(opac, 1)
-    anchor_demon = stats.anchor_demon + av
+    C = stats.opacity_accum.shape[0]
+    K = stats.offset_grad_accum.size // C
+    g = mean2d_grad.reshape(-1, 2) * jnp.asarray([W * 0.5, H * 0.5])
+    gnorm = jnp.linalg.norm(g, axis=-1)                      # [V*K]
+    V = gnorm.shape[0] // K
+    opac = jnp.maximum(neural_opacity, 0.0).reshape(V, K)
 
-    g = mean2d_grad * jnp.asarray([W * 0.5, H * 0.5])
-    gnorm = jnp.linalg.norm(g, axis=-1).reshape(C, K)
-    update = (child_valid & splat_visible).reshape(C, K) \
-        & anchor_visible[:, None]
-    upd = update.astype(jnp.float32)
+    if anchor_idx is None:
+        av = anchor_visible.astype(jnp.float32)
+        update = ((child_valid & splat_visible).reshape(V, K)
+                  & anchor_visible[:, None]).reshape(-1)
+        upd = update.astype(jnp.float32)
+        return DensifyStats(
+            opacity_accum=stats.opacity_accum + av * jnp.sum(opac, 1),
+            anchor_demon=stats.anchor_demon + av,
+            offset_grad_accum=stats.offset_grad_accum + upd * gnorm,
+            offset_denom=stats.offset_denom + upd)
+
+    ok = anchor_idx < C
+    av = ok.astype(jnp.float32)
+    safe = jnp.minimum(anchor_idx, C - 1)
+    upd = ((child_valid & splat_visible).reshape(V, K)
+           & ok[:, None]).astype(jnp.float32)                # [V, K]
+    flat_idx = (safe[:, None] * K
+                + jnp.arange(K, dtype=jnp.int32)[None, :]).reshape(-1)
     return DensifyStats(
-        opacity_accum=opacity_accum,
-        anchor_demon=anchor_demon,
-        offset_grad_accum=stats.offset_grad_accum + upd * gnorm,
-        offset_denom=stats.offset_denom + upd)
+        opacity_accum=stats.opacity_accum.at[safe].add(
+            av * jnp.sum(opac, 1)),
+        anchor_demon=stats.anchor_demon.at[safe].add(av),
+        offset_grad_accum=stats.offset_grad_accum.at[flat_idx].add(
+            (upd * gnorm.reshape(V, K)).reshape(-1)),
+        offset_denom=stats.offset_denom.at[flat_idx].add(upd.reshape(-1)))
 
 
 def _grow_capacity(arr: np.ndarray, new_cap: int) -> np.ndarray:
@@ -90,8 +113,8 @@ def adjust_anchor(model: Model, stats: DensifyStats, opt_state,
 
     op_acc = np.array(stats.opacity_accum)
     demon = np.array(stats.anchor_demon)
-    g_acc = np.array(stats.offset_grad_accum)
-    g_den = np.array(stats.offset_denom)
+    g_acc = np.array(stats.offset_grad_accum).reshape(C, K)
+    g_den = np.array(stats.offset_denom).reshape(C, K)
 
     with np.errstate(invalid='ignore', divide='ignore'):
         grads = g_acc / g_den
@@ -222,11 +245,11 @@ def adjust_anchor(model: Model, stats: DensifyStats, opt_state,
                                for f in AnchorState._fields})
     new_stats = DensifyStats(opacity_accum=jnp.asarray(op_acc),
                              anchor_demon=jnp.asarray(demon),
-                             offset_grad_accum=jnp.asarray(g_acc),
-                             offset_denom=jnp.asarray(g_den))
+                             offset_grad_accum=jnp.asarray(g_acc.ravel()),
+                             offset_denom=jnp.asarray(g_den.ravel()))
 
     # ---- Adam moment surgery ----
-    opt_state = _surgery_opt_state(opt_state, C,
+    opt_state = _surgery_opt_state(opt_state, model.state.capacity, C,
                                    np.asarray(changed_slots, np.int64))
 
     model = model._replace(state=new_state)
@@ -240,24 +263,29 @@ PER_ANCHOR_GROUPS = ('anchor', 'offset', 'mask', 'anchor_feat', 'scaling',
                      'frozen')
 
 
-def _surgery_opt_state(opt_state, new_capacity: int, changed: np.ndarray):
+def _surgery_opt_state(opt_state, old_capacity: int, new_capacity: int,
+                       changed: np.ndarray):
     """Zero Adam moments of changed anchor slots; pad leaves on growth.
 
     Only touches the multi_transform inner states of the per-anchor
-    parameter groups (PER_ANCHOR_GROUPS), where every array leaf is
-    per-anchor (Adam mu/nu mirror the param shapes) — never the MLP or
-    hash-table groups, whose leading dims could coincide with capacity."""
+    parameter groups (PER_ANCHOR_GROUPS), where every array leaf mirrors
+    a FLAT per-anchor param ([C*k] — AnchorState stores flat leaves) —
+    never the MLP or hash-table groups. Each leaf is viewed as
+    [capacity, k] for row surgery, then re-flattened."""
     def fix(leaf):
         if not hasattr(leaf, 'shape') or getattr(leaf, 'ndim', 0) == 0:
             return leaf
         if not np.issubdtype(np.asarray(leaf).dtype, np.floating):
             return leaf
         arr = np.array(leaf)
-        if arr.shape[0] < new_capacity:
+        if arr.size % old_capacity:
+            return leaf                      # not a per-anchor moment
+        arr = arr.reshape(old_capacity, -1)
+        if old_capacity < new_capacity:
             arr = _grow_capacity(arr, new_capacity)
         if changed.size:
             arr[changed] = 0
-        return jnp.asarray(arr)
+        return jnp.asarray(arr.reshape(-1))
 
     inner = dict(opt_state.inner_states)
     for g in PER_ANCHOR_GROUPS:

@@ -29,6 +29,9 @@ class RenderResult(NamedTuple):
     proj: ProjectedSplats
     tile_overflow: jnp.ndarray
     pair_overflow: jnp.ndarray
+    # anchor indices of the visible-compacted set ([visible_capacity] int32,
+    # entries == capacity are padding), or None when decode ran dense
+    visible_idx: jnp.ndarray | None = None
 
 
 def prefilter_anchors(model: Model, intr: Intrinsics,
@@ -57,12 +60,37 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
            mean2d_offset: jnp.ndarray | None = None,
            tile_capacity: int | None = None,
            tile_sharding=None) -> RenderResult:
-    """Render one view. ``mean2d_offset`` is a zeros [C*K, 2] input whose
-    gradient equals dL/dmean2d in pixel units — the functional analog of the
-    reference's retain_grad screenspace_points (gaussian_renderer:224-229),
-    used for densification statistics."""
+    """Render one view. ``mean2d_offset`` is a FLAT zeros [n_child*2]
+    input whose gradient equals dL/dmean2d in pixel units — the functional
+    analog of the reference's retain_grad screenspace_points
+    (gaussian_renderer:224-229), used for densification statistics. (Flat
+    because a persistent [n_child, 2] buffer pads 64x under TPU tiling.)"""
     if bg is None:
         bg = jnp.zeros(3)
+    visible_idx = None
+    if (cfg.visible_capacity is not None and visible is not None
+            and model.state.capacity > cfg.visible_capacity):
+        # visible-anchor compaction (the reference gathers by visible_mask
+        # before decoding, gaussian_renderer/__init__.py:33-44): bound the
+        # decoded set to a static bucket; grads scatter back to the full
+        # state through the gather VJP. Overflowing anchors (visible count
+        # > bucket) are dropped for this step.
+        st = model.state
+        C = st.capacity
+        vcap = cfg.visible_capacity
+        visible_idx = jnp.nonzero(visible, size=vcap,
+                                  fill_value=C)[0].astype(jnp.int32)
+        ok = visible_idx < C
+        safe = jnp.minimum(visible_idx, C - 1)
+        from .anchors import AnchorState
+        sub = AnchorState(
+            anchor=st.anchor[safe], offset=st.offset[safe],
+            mask_logit=st.mask_logit[safe], feat=st.feat[safe],
+            scaling_log=st.scaling_log[safe], rotation=st.rotation[safe],
+            opacity_raw=st.opacity_raw[safe],
+            alive=ok & st.alive[safe])
+        model = model._replace(state=sub)
+        visible = None           # the compacted set IS the visible set
     dec, rate = decode_neural_gaussians(model, cam.camera_center, cfg,
                                         phase=phase, mode=mode,
                                         visible=visible, key=key)
@@ -72,7 +100,8 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
         intr.width, intr.height, intr.focal_x, intr.focal_y,
         intr.tan_fovx, intr.tan_fovy)
     if mean2d_offset is not None:
-        proj = proj._replace(mean2d=proj.mean2d + mean2d_offset)
+        proj = proj._replace(
+            mean2d=proj.mean2d + mean2d_offset.reshape(-1, 2))
     proj = proj._replace(valid=proj.valid & dec.valid)
     out, bins = rasterize_tiles(
         proj, dec.color, dec.opacity, bg,
@@ -81,4 +110,5 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
         tile_sharding=tile_sharding)
     return RenderResult(out=out, dec=dec, rate=rate, proj=proj,
                         tile_overflow=bins.tile_overflow,
-                        pair_overflow=bins.pair_overflow)
+                        pair_overflow=bins.pair_overflow,
+                        visible_idx=visible_idx)

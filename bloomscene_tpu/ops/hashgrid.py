@@ -74,9 +74,13 @@ class GridSpec:
 
 
 def init_grid_params(spec: GridSpec, key, std: float = 1e-4) -> jnp.ndarray:
-    """Uniform(-std, std) init (encodings.py:401-403). [n_params, F]."""
+    """Uniform(-std, std) init (encodings.py:401-403).
+
+    Stored FLAT [n_params * F]: a persistent [n_params, 4] f32 table pads
+    32x under TPU (8,128) tiling (and Adam keeps two more copies);
+    ``grid_encode`` views it as [n_params, F] on the fly."""
     import jax
-    return jax.random.uniform(key, (spec.n_params, spec.n_features),
+    return jax.random.uniform(key, (spec.n_params * spec.n_features,),
                               jnp.float32, -std, std)
 
 
@@ -102,9 +106,10 @@ def grid_encode(params: jnp.ndarray, x: jnp.ndarray,
                 spec: GridSpec) -> jnp.ndarray:
     """Encode x in [0,1]^d -> [N, n_levels * n_features].
 
-    ``params`` is the flat [n_params, F] table (pre-activation; STE
-    binarization applied here when spec.ste_binary).
+    ``params`` is the table (flat [n_params*F] or [n_params, F];
+    pre-activation; STE binarization applied here when spec.ste_binary).
     """
+    params = params.reshape(-1, spec.n_features)
     emb = ste_binary(params) if spec.ste_binary else params
     n = x.shape[0]
     num_dim = spec.num_dim

@@ -90,8 +90,12 @@ def make_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
                    cam: CameraArrays, gt_image, gt_depth, key,
                    *, phase: int, track_stats: bool):
         visible = prefilter_anchors(model, intr, cam)
-        n_child = model.state.capacity * model.state.n_offsets
-        m2d_offset = jnp.zeros((n_child, 2))
+        n_anch = model.state.capacity
+        if (cfg.visible_capacity is not None
+                and n_anch > cfg.visible_capacity):
+            n_anch = cfg.visible_capacity
+        n_child = n_anch * model.state.n_offsets
+        m2d_offset = jnp.zeros((n_child * 2,))      # flat: [V*K, 2] pads 64x
 
         def render_fn(m, m2d):
             return render(m, intr, cam, cfg, phase=phase, mode='train',
@@ -131,7 +135,7 @@ def make_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
             stats = densify.accumulate_stats(
                 stats, res.dec.neural_opacity, res.dec.valid,
                 jax.lax.stop_gradient(res.proj.valid), visible, g_m2d,
-                intr.width, intr.height)
+                intr.width, intr.height, anchor_idx=res.visible_idx)
 
         metrics = StepMetrics(
             loss=loss, loss_rgb=aux['loss_rgb'],
@@ -240,6 +244,17 @@ class Trainer:
             if it % log_every == 0 or it == iterations:
                 rec = {k: float(v) for k, v in metrics._asdict().items()}
                 rec['iteration'] = it
+                if (cfg.visible_capacity is not None
+                        and rec['n_visible_anchors']
+                        > cfg.visible_capacity):
+                    import warnings
+                    warnings.warn(
+                        f"step {it}: {int(rec['n_visible_anchors'])} "
+                        f"visible anchors exceed visible_capacity="
+                        f"{cfg.visible_capacity}; overflowing anchors are "
+                        "skipped this step — raise GSConfig."
+                        "visible_capacity for full coverage",
+                        RuntimeWarning, stacklevel=2)
                 if rec['pair_overflow'] > 0 or rec['tile_overflow'] > 0:
                     # truncation is depth-aware (ops/tiles.py: farthest
                     # splats dropped first) but still lossy — tell the user

@@ -68,7 +68,7 @@ def test_grad_flows_to_table():
     x = jnp.array([[0.5, 0.5, 0.5]])
 
     g = jax.grad(lambda p: jnp.sum(grid_encode(p, x, spec)))(params)
-    g = np.asarray(g)
+    g = np.asarray(g).reshape(-1, spec.n_features)  # params stored flat
     assert np.abs(g).sum() > 0
     # gradient hits at most 2^3 corners per level
     assert (np.abs(g).sum(1) > 0).sum() <= 16

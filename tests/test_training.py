@@ -84,6 +84,28 @@ def test_training_with_densification_and_rate():
     assert all(np.isfinite(r['loss']) for r in tr.history)
 
 
+def test_visible_compaction_trains_and_matches_dense():
+    """cfg.visible_capacity bounds per-step decode to visible anchors;
+    a full training run (incl. densification stats scatter) works and
+    reaches a similar loss to the dense path."""
+    pts = synthetic_scene(500)
+    cam, views = target_views()
+    losses = {}
+    for name, extra in (('dense', {}), ('compact', {'visible_capacity': 512})):
+        cfg = small_cfg(iterations=60, update_from=20, update_interval=25,
+                        update_until=55, **extra)
+        model, vs = init_model(jax.random.PRNGKey(3), pts, cfg)
+        if name == 'compact':
+            assert model.state.capacity > cfg.visible_capacity
+        tr = Trainer(model, cfg, cam.intrinsics, vs)
+        tr.run(views, log_every=10)
+        assert all(np.isfinite(r['loss']) for r in tr.history)
+        losses[name] = tr.history[-1]['loss']
+    # both converge into the same ballpark (not bit-identical: the
+    # compacted rate-loss subsample draws different randoms)
+    assert losses['compact'] < losses['dense'] * 1.5 + 0.05
+
+
 def test_adjust_anchor_grow_and_prune():
     cfg = small_cfg()
     pts = synthetic_scene(300)
