@@ -48,12 +48,15 @@ def _save_traindata(path: str, td: dict) -> None:
 def _load_traindata(path: str) -> dict:
     import numpy as _np
     z = _np.load(path)
-    frames = [{'image': z['images'][i], 'depth': z['depths'][i],
+    imgs = z['images'].astype(_np.float32)     # fixtures may store f16
+    deps = z['depths'].astype(_np.float32)
+    frames = [{'image': imgs[i], 'depth': deps[i],
                'transform_matrix': z['transforms'][i].tolist()}
-              for i in range(z['images'].shape[0])]
+              for i in range(imgs.shape[0])]
     return {'camera_angle_x': float(z['camera_angle_x']),
             'W': int(z['W']), 'H': int(z['H']),
-            'pcd_points': z['pcd_points'], 'pcd_colors': z['pcd_colors'],
+            'pcd_points': z['pcd_points'].astype(_np.float32),
+            'pcd_colors': z['pcd_colors'].astype(_np.float32),
             'frames': frames}
 
 
