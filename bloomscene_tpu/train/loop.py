@@ -119,9 +119,13 @@ def make_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
             lambda p, g: (jnp.zeros_like(p)
                           if not jnp.issubdtype(p.dtype, jnp.floating)
                           else g), model, g_model)
-        # a single non-finite loss would NaN-poison every parameter through
-        # Adam in one step (even zero-lr groups); skip such updates entirely
-        ok = jnp.isfinite(loss)
+        # a single non-finite loss OR gradient would NaN-poison every
+        # parameter through Adam in one step (even zero-lr groups): a
+        # finite loss can still carry inf/NaN grads (overflow inside a
+        # masked branch). Skip such updates entirely.
+        gsum = sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(g_model)
+                   if jnp.issubdtype(g.dtype, jnp.floating))
+        ok = jnp.isfinite(loss) & jnp.isfinite(gsum)
         g_model = jax.tree.map(
             lambda g: (jnp.where(ok, g, jnp.zeros_like(g))
                        if jnp.issubdtype(g.dtype, jnp.floating) else g),
