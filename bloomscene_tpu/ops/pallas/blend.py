@@ -41,7 +41,7 @@ GROUP_TILES = 128    # tiles per program (lane dim; must be 128-multiple)
 CAP_CHUNK = 128      # splats streamed per grid step (VMEM budget bound)
 BWD_CAP_CHUNK = 64   # smaller bwd chunks: the grad out block doubles the
                      # per-chunk VMEM footprint vs the fwd kernel
-BWD_UNROLL = 2
+BWD_UNROLL = 4       # fits the ~16MB VMEM scoped limit at cc=64
 INTERPRET = False    # set True to run kernels in interpreter mode (CPU)
 DATA_W = 16          # packed attrs: mx,my,ca,cb,cc,op,de,r,g,b,valid,pad*5
 GRAD_W = 16          # per-entry grads: dmx,dmy,dca,dcb,dcc,dop,dde,dr,dg,db
@@ -65,21 +65,29 @@ def pack_splat_data(mean2d, conic, depth, color, opac, entries,
 
 def pack_splat_data_sorted(mean2d, conic, depth, color, opac,
                            gauss_sorted, t_start, cap: int) -> jnp.ndarray:
-    """Like pack_splat_data but expands from the depth-sorted PAIR list:
-    one random row-gather of the pair list (half the rows of the per-entry
-    gather) + per-tile CONTIGUOUS dynamic slices (ranges are contiguous in
-    the sorted list), which XLA moves much faster than 1M random rows."""
+    """Expand per-Gaussian attrs into the kernel's [cap, W, T] layout from
+    the depth-sorted PAIR list: one random gather of the pair list + per-
+    tile CONTIGUOUS dynamic slices (tile ranges are contiguous in the
+    sorted list).
+
+    LAYOUT: everything stays TRANSPOSED [W, n] / [W, PC] — 2D arrays with
+    a 16-wide minor dim pad 8x under TPU (8,128) tiling, which at bench
+    size turns ~130MB of pair data into >1GB of hidden HBM traffic. The
+    gather runs along the minor axis of the tight [W, N] table instead."""
     n = mean2d.shape[0]
-    base = jnp.concatenate([
-        mean2d, conic, opac[:, None], depth[:, None], color,
-        jnp.zeros((n, DATA_W - 10), jnp.float32)], -1)     # [N, DATA_W]
-    bs = base[gauss_sorted]                                # [PC, DATA_W]
-    bs = jnp.concatenate(
-        [bs, jnp.zeros((cap, DATA_W), jnp.float32)], 0)    # slice-safe pad
+    PC = gauss_sorted.shape[0]
+    baseT = jnp.stack([
+        mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+        opac, depth, color[:, 0], color[:, 1], color[:, 2]], 0)
+    baseT = jnp.concatenate(
+        [baseT, jnp.zeros((DATA_W - 10, n), jnp.float32)], 0)  # [W, N]
+    bsT = jnp.take(baseT, gauss_sorted, axis=1)            # [W, PC]
+    bsT = jnp.concatenate(
+        [bsT, jnp.zeros((DATA_W, cap), jnp.float32)], 1)   # slice-safe pad
     sl = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(bs, (s, 0), (cap, DATA_W)))(
-        jnp.minimum(t_start, gauss_sorted.shape[0]))       # [T, cap, W]
-    return jnp.transpose(sl, (1, 2, 0))                    # [cap, W, T]
+        lambda s: jax.lax.dynamic_slice(bsT, (0, s), (DATA_W, cap)))(
+        jnp.minimum(t_start, PC))                          # [T, W, cap]
+    return jnp.transpose(sl, (2, 1, 0))                    # [cap, W, T]
 
 
 def counts_rows(counts, num_tiles: int) -> jnp.ndarray:

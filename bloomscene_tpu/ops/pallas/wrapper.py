@@ -88,15 +88,19 @@ def _fwd(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac, bg,
 def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
     ((data, counts_p, perm, pos, Tf, acc, D, ncon), bg, gauss_sorted,
      tile_sorted, t_start, n) = saved
-    # cotangent images -> permuted position space (match fwd residuals)
-    to_pt = lambda x: _image_to_pt(x, gx, gy, tile)[:, perm]
-
-    g_r = to_pt(gout.color[..., 0])
-    g_g = to_pt(gout.color[..., 1])
-    g_b = to_pt(gout.color[..., 2])
-    g_depth = to_pt(gout.depth)
-    g_alpha = to_pt(gout.alpha)
-    g_finalT = to_pt(gout.final_T)
+    # cotangent images -> permuted position space (match fwd residuals);
+    # batched: one tiling transpose + ONE lane-permutation gather for all
+    # six cotangent planes instead of six
+    H_, W_img = gout.depth.shape
+    planes = jnp.stack([gout.color[..., 0], gout.color[..., 1],
+                        gout.color[..., 2], gout.depth, gout.alpha,
+                        gout.final_T], 0)              # [6, H, W]
+    pad = ((0, 0), (0, gy * tile - H_), (0, gx * tile - W_img))
+    pp = jnp.pad(planes, pad).reshape(6, gy, tile, gx, tile)
+    pp = jnp.transpose(pp, (0, 2, 4, 1, 3)).reshape(
+        6, tile * tile, gy * gx)[:, :, perm]           # [6, P, T_pos]
+    g_r, g_g, g_b, g_depth, g_alpha, g_finalT = (
+        pp[0], pp[1], pp[2], pp[3], pp[4], pp[5])
 
     gate = acc > ACC_GATE
     u_d = jnp.where(gate, g_depth / acc, 0.0)
@@ -117,21 +121,27 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
     #    on TPU (gathers/scatters are row-latency-bound).
     # 2. one segment-sum over the pair list keyed by gaussian id.
     n_pairs = gauss_sorted.shape[0]
-    gradT = jnp.transpose(grad, (2, 0, 1))      # [T_pos, cap, W]
-    slot_iota = jnp.arange(cap, dtype=jnp.int32)
-    maskT = slot_iota[None, :] < counts_p[:, None]
-    gradT = jnp.where(maskT[..., None], gradT, 0.0)
-    starts_p = jnp.minimum(t_start[perm], n_pairs)
+    # no masking needed: the kernel writes EXACT zeros for every entry a
+    # tile doesn't own (blended=false zeroes all channels), so the window
+    # overlap into the next tile's range adds zeros by construction.
+    # LAYOUT: the scatter runs in FLAT 1D pair-major space — a [T, cap, W]
+    # update tensor would pad its 16-wide minor dim to 128 lanes (470MB of
+    # hidden HBM traffic at bench size); [T, cap*W] and a 1D operand are
+    # tight.
+    W_ = pb.GRAD_W
+    updates = jnp.transpose(grad, (2, 0, 1)).reshape(
+        grad.shape[2], cap * W_)                # [T_pos, cap*W] (tight)
+    starts_p = jnp.minimum(t_start[perm], n_pairs) * W_
     dnums = lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2), inserted_window_dims=(),
+        update_window_dims=(1,), inserted_window_dims=(),
         scatter_dims_to_operand_dims=(0,))
     buf = lax.scatter_add(
-        jnp.zeros((n_pairs + cap, pb.GRAD_W), jnp.float32),
-        starts_p[:, None], gradT, dnums)
-    pair_grad = buf[:n_pairs]
+        jnp.zeros(((n_pairs + cap) * W_,), jnp.float32),
+        starts_p[:, None], updates, dnums)
+    pair_grad = buf.reshape(n_pairs + cap, W_)[:n_pairs, :10]
     pair_ok = tile_sorted < Tf.shape[1]
     seg = jnp.where(pair_ok, gauss_sorted, n)
-    sums = jax.ops.segment_sum(pair_grad, seg, n + 1)[:n]   # [n, GRAD_W]
+    sums = jax.ops.segment_sum(pair_grad, seg, n + 1)[:n]   # [n, 10]
     d_mean2d = sums[:, 0:2]
     d_conic = sums[:, 2:5]
     d_opac = sums[:, 5]

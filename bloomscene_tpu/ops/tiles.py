@@ -124,20 +124,6 @@ def compute_tile_rects(proj: ProjectedSplats, W: int, H: int, tile: int):
     return x0, y0, x1, y1, touched
 
 
-def depth_order(proj: ProjectedSplats) -> jnp.ndarray:
-    """Front-to-back Gaussian order: argsort of depth, invalid last.
-
-    Stable, so equal depths keep id order — together with the stable tile
-    sort this reproduces the CUDA (tile, depth-bits, emission-order) key
-    exactly (rasterizer_impl.cu:70-111 + cub stable radix sort).
-    """
-    n = proj.depth.shape[0]
-    key = jnp.where(proj.valid, proj.depth, jnp.inf)
-    _, order = lax.sort((key, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
-                        is_stable=True)
-    return order
-
-
 def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
                pair_capacity: int, tile_capacity: int) -> TileBins:
     """Build per-tile depth-sorted splat lists (static shapes throughout)."""
@@ -156,14 +142,18 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
             counts=jnp.zeros((num_tiles,), jnp.int32))
 
     x0, y0, x1, _y1, touched = compute_tile_rects(proj, W, H, tile)
-    order = depth_order(proj)                          # [n] original ids
 
-    # per-gaussian pair data in depth order, gathered as ONE packed row
-    # gather (separate gathers+concat cost ~4x at this size)
+    # depth pre-sort carrying the rect data as SORT PAYLOADS: moving 5
+    # payload columns through lax.sort costs less than the random [n, 4]
+    # row gather by an argsort order (gathers are row-latency-bound).
+    # Stable, so equal depths keep id order — together with the stable
+    # tile sort this reproduces the CUDA (tile, depth-bits, emission
+    # order) key exactly (rasterizer_impl.cu:70-111 + stable radix sort).
     width = jnp.maximum(x1 - x0, 1)
-    packed = jnp.stack([x0, y0, width, touched], -1)   # [n, 4] int32
-    ps = packed[order]                                 # [n, 4] depth order
-    touched_s = ps[:, 3]
+    key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    _, x0_s, y0_s, w_s, touched_s, order = lax.sort(
+        (key, x0, y0, width, touched,
+         jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
 
     offsets = cumsum_f32_exact(touched_s.astype(jnp.float32)).astype(jnp.int32)
     total = offsets[-1]
@@ -180,23 +170,25 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         (rid + 1).astype(jnp.float32), mode='drop')
     rank_c = jnp.maximum(cummax_1d(markers).astype(jnp.int32) - 1, 0)
 
-    # one packed per-pair gather; carries the ORIGINAL id as a column so no
-    # second 524K-gather is needed to map ranks back (measured ~5 ms saved)
-    pg = jnp.concatenate(
-        [starts[:, None], ps[:, :3], order[:, None]], -1)[rank_c]  # [P, 5]
-    gauss_o = pg[:, 4]
+    # one packed per-pair gather; carries the ORIGINAL id as a row so no
+    # second 524K-gather is needed to map ranks back (measured ~5 ms
+    # saved). TRANSPOSED [5, P]: a [P, 5] gather output would pad its
+    # minor dim 5 -> 128 lanes (25x hidden HBM traffic).
+    pgT = jnp.take(jnp.stack([starts, x0_s, y0_s, w_s, order], 0),
+                   rank_c, axis=1)                      # [5, P]
+    gauss_o = pgT[4]
 
     k = jnp.arange(pair_capacity, dtype=jnp.int32)
-    local = k - pg[:, 0]
-    w = pg[:, 3]
+    local = k - pgT[0]
+    w = pgT[3]
     # local // width via exact float-reciprocal trick (integer div lowers
     # to a slow VPU loop): local <= ~2^13, width <= 2^7 => f32 exact with a
     # 2^-10 nudge (error < 2^-9 < min fraction 1/width)
     q = jnp.floor(local.astype(jnp.float32)
                   * (1.0 / w.astype(jnp.float32))
                   + 0.0009765625).astype(jnp.int32)
-    tx = pg[:, 1] + (local - q * w)
-    ty = pg[:, 2] + q
+    tx = pgT[1] + (local - q * w)
+    ty = pgT[2] + q
     pair_valid = k < total
     tile_id = jnp.where(pair_valid, ty * gx + tx, num_tiles).astype(jnp.int32)
 

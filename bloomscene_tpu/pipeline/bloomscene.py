@@ -156,6 +156,12 @@ class BloomScene:
         model, voxel_size = init_model(
             jax.random.PRNGKey(self.seed), self.scene.points, self.cfg)
         cam0 = self.scene.train_cameras[0]
+        # the Trainer jit-specializes on ONE set of intrinsics; all
+        # BloomScene frames share them by construction (one fov/resolution
+        # per run), but assert rather than silently mis-render
+        assert all(c.intrinsics == cam0.intrinsics
+                   for c in self.scene.train_cameras), \
+            "train cameras must share intrinsics"
         views = [(c.device_arrays(), jnp.asarray(c.image),
                   jnp.asarray(c.depth if c.depth is not None
                               else np.zeros((c.height, c.width),
