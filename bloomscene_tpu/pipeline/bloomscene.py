@@ -67,13 +67,16 @@ class BloomScene:
                  cam: Optional[CameraConfig] = None,
                  inpaint_prior: Optional[InpaintPrior] = None,
                  depth_prior: Optional[DepthPrior] = None,
-                 seed: int = 1):
+                 seed: int = 1,
+                 preset_json: Optional[dict] = None):
         self.save_dir = save_dir
         self.cfg = cfg or GSConfig()
         self.cam = cam or CameraConfig()
         self.inpaint = inpaint_prior or StubInpaintPrior()
         self.depth = depth_prior or StubDepthPrior()
         self.seed = seed
+        # optional reference-style camera-path jsons: {name: path}
+        self.preset_json = preset_json
         self.traindata: Optional[dict] = None
         self.scene: Optional[SceneData] = None
         self.model: Optional[Model] = None
@@ -85,8 +88,8 @@ class BloomScene:
     # ---- cold-start: rebuild a renderable scene from disk ----
     @classmethod
     def load(cls, save_dir: str, cfg: Optional[GSConfig] = None,
-             cam: Optional[CameraConfig] = None, seed: int = 1
-             ) -> "BloomScene":
+             cam: Optional[CameraConfig] = None, seed: int = 1,
+             preset_json: Optional[dict] = None) -> "BloomScene":
         """Reload a previously saved run in a FRESH process.
 
         The reference reloads the MLP checkpoint before its eval renders
@@ -97,7 +100,8 @@ class BloomScene:
         ``gsplat.ply`` (eval-mode renders), preset/eval cameras from the
         cached ``traindata.npz``.
         """
-        self = cls(save_dir, cfg=cfg, cam=cam, seed=seed)
+        self = cls(save_dir, cfg=cfg, cam=cam, seed=seed,
+                   preset_json=preset_json)
         ck_path = os.path.join(save_dir, 'checkpoint.npz')
         if not os.path.exists(ck_path):
             raise FileNotFoundError(f"no checkpoint.npz in {save_dir}")
@@ -127,7 +131,8 @@ class BloomScene:
         if os.path.exists(cache):
             self.traindata = _load_traindata(cache)
             self.scene = read_scene_data(self.traindata,
-                                         self.cfg.white_background)
+                                         self.cfg.white_background,
+                                         preset_json=self.preset_json)
         return self
 
     # ---- stage 1: progressive generation ----
@@ -146,7 +151,8 @@ class BloomScene:
                 progress=(print if verbose else None))
             _save_traindata(cache, self.traindata)
         self.scene = read_scene_data(self.traindata,
-                                     self.cfg.white_background)
+                                     self.cfg.white_background,
+                                     preset_json=self.preset_json)
         return self.traindata
 
     # ---- stage 2: optimization ----

@@ -33,7 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--campath_gen', '-cg', type=str, default='rotate360',
                    choices=['rotate360'])
     p.add_argument('--campath_render', '-cr', type=str, default='rotate360',
-                   choices=['rotate360'])
+                   help="render preset: 'rotate360' or a path to a "
+                        "reference-style camera-path json (e.g. the "
+                        "reference's cameras/rotate360.json)")
     # inpainting
     p.add_argument('--seed', type=int, default=1)
     p.add_argument('--diff_steps', type=int, default=50)
@@ -82,11 +84,17 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     np.random.seed(args.seed)
 
+    preset_json = None
+    if args.campath_render.endswith('.json'):
+        name = os.path.splitext(os.path.basename(args.campath_render))[0]
+        preset_json = {name: args.campath_render}
+        args.campath_render = name
+
     if args.load_dir:
         txt = args.text
         if txt.endswith('.txt') and os.path.exists(txt):
             txt = open(txt).readline().strip()
-        bs = BloomScene.load(args.load_dir)
+        bs = BloomScene.load(args.load_dir, preset_json=preset_json)
         if args.render_frames < 180 and bs.scene is not None:
             pk = args.campath_render
             stride = max(1, 180 // args.render_frames)
@@ -137,7 +145,8 @@ def main(argv=None):
         inpaint, depth = StubInpaintPrior(), StubDepthPrior()
 
     bs = BloomScene(args.save_dir, cfg=cfg, cam=cam, inpaint_prior=inpaint,
-                    depth_prior=depth, seed=args.seed)
+                    depth_prior=depth, seed=args.seed,
+                    preset_json=preset_json)
     print('start..', datetime.datetime.now().strftime('%Y-%m-%d %H:%M:%S'))
     bs.create(rgb, txt, neg, args.campath_gen, args.diff_steps,
               iterations=args.iterations)

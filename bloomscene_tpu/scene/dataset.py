@@ -63,9 +63,15 @@ def nerfpp_norm(cameras: list[Camera]):
 
 def read_scene_data(traindata: dict, white_background: bool = False,
                     with_eval_noise: bool = True,
-                    noise_seed: int = 0) -> SceneData:
+                    noise_seed: int = 0,
+                    preset_json: dict | None = None) -> SceneData:
     """readDataInfo + Scene.__init__ equivalent (dataset_readers.py:137-154,
-    scene/__init__.py:12-31)."""
+    scene/__init__.py:12-31).
+
+    ``preset_json``: optional {name: path} of reference-style camera-path
+    json files (cameras/rotate360.json format) added as render presets —
+    a file's own camera_angle_x wins over the scene fov, like the
+    reference loader (utils/camera.py:27)."""
     fovx = traindata["camera_angle_x"]
     frames = traindata["frames"]
     cams = []
@@ -89,6 +95,17 @@ def read_scene_data(traindata: dict, white_background: bool = False,
             _camera_from_nerf_frame(fr["transform_matrix"], pfovx, pfovy,
                                     W0, H0, name=f"{key}_{i:03d}")
             for i, fr in enumerate(data["frames"])]
+    if preset_json:
+        from .trajectory import load_camera_path_json
+        for key, path in preset_json.items():
+            data = load_camera_path_json(path)
+            jfovx = data.get("camera_angle_x", pfovx)
+            jfovy = focal2fov(fov2focal(jfovx, W0), H0)
+            presets[key] = [
+                _camera_from_nerf_frame(fr["transform_matrix"], jfovx,
+                                        jfovy, W0, H0,
+                                        name=f"{key}_{i:03d}")
+                for i, fr in enumerate(data["frames"])]
 
     eval_cams = (apply_pose_noise(cams, seed=noise_seed)
                  if with_eval_noise else [])

@@ -80,3 +80,25 @@ def get_camera_paths() -> dict:
             frames.append({"transform_matrix": c2w.tolist()})
         presets[name] = {"frames": frames}
     return presets
+
+
+def load_camera_path_json(path: str) -> dict:
+    """Load a reference-style camera-path json (e.g. the reference's
+    720-frame cameras/rotate360.json; format {"camera_angle_x": fov,
+    "frames": [{"transform_matrix": 4x4 NeRF c2w}]}, loader parity with
+    utils/camera.py:23-51). Returns the same dict shape get_camera_paths
+    produces, with the json's own fov preserved under "camera_angle_x"
+    (the reference loader uses the file's fov, NOT the scene's)."""
+    import json
+    with open(path) as f:
+        contents = json.load(f)
+    frames = []
+    for fr in contents["frames"]:
+        m = np.asarray(fr["transform_matrix"], np.float64)
+        if m.shape[0] == 3:           # 3x4 c2w: pad the homogeneous row
+            m = np.concatenate([m, [[0.0, 0.0, 0.0, 1.0]]], 0)
+        frames.append({"transform_matrix": m.tolist()})
+    out = {"frames": frames}
+    if "camera_angle_x" in contents:
+        out["camera_angle_x"] = float(contents["camera_angle_x"])
+    return out

@@ -112,6 +112,31 @@ def test_full_pipeline_smoke(tmp_path, tiny_cam):
         np.asarray(bs.decoded_model.state.anchor))
 
 
+def test_camera_path_json_preset(tmp_path, tiny_cam):
+    """Reference-style camera-path jsons load as render presets
+    (utils/camera.py:23-51 parity: the file's camera_angle_x wins)."""
+    import json
+    from bloomscene_tpu.scene.dataset import read_scene_data
+    from bloomscene_tpu.scene.trajectory import get_camera_paths
+
+    frames = get_camera_paths()['rotate360']['frames'][:5]
+    path = str(tmp_path / "orbit.json")
+    with open(path, 'w') as f:
+        json.dump({"camera_angle_x": 0.9, "frames": frames}, f)
+
+    rng = np.random.default_rng(1)
+    rgb = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    td = pcdgen.generate_pcd(rgb, "x", "", 'rotate360', seed=0,
+                             diff_steps=1, cam=tiny_cam,
+                             inpaint=StubInpaintPrior(),
+                             depth_prior=StubDepthPrior())
+    scene = read_scene_data(td, preset_json={'orbit': path})
+    assert len(scene.preset_cameras['orbit']) == 5
+    cam = scene.preset_cameras['orbit'][0]
+    # fov comes from the json (0.9), not the scene fov
+    assert abs(cam.intrinsics.fovx - 0.9) < 1e-6
+
+
 def test_io_roundtrips(tmp_path):
     from bloomscene_tpu.utils import io as io_utils
     rng = np.random.default_rng(0)
