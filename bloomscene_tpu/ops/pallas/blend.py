@@ -47,22 +47,6 @@ DATA_W = 16          # packed attrs: mx,my,ca,cb,cc,op,de,r,g,b,valid,pad*5
 GRAD_W = 16          # per-entry grads: dmx,dmy,dca,dcb,dcc,dop,dde,dr,dg,db
 
 
-def pack_splat_data(mean2d, conic, depth, color, opac, entries,
-                    entry_mask) -> jnp.ndarray:
-    """Per-entry attrs laid out [cap, DATA_W, T].
-
-    Packs per-GAUSSIAN first ([N, DATA_W], cheap fused elementwise) so the
-    per-entry expansion is a single fused gather+transpose — five separate
-    [T, cap, k] gathers plus a big concat cost ~40ms at 100K splats,
-    this formulation ~0.2ms. Entry validity is NOT packed: the kernels
-    derive it from the per-tile counts (entry lists are front-packed)."""
-    n = mean2d.shape[0]
-    base = jnp.concatenate([
-        mean2d, conic, opac[:, None], depth[:, None], color,
-        jnp.zeros((n, DATA_W - 10), jnp.float32)], -1)     # [N, DATA_W]
-    return jnp.transpose(base[entries.T], (0, 2, 1))       # [cap, W, T]
-
-
 def pack_splat_data_sorted(mean2d, conic, depth, color, opac,
                            gauss_sorted, t_start, cap: int) -> jnp.ndarray:
     """Expand per-Gaussian attrs into the kernel's [cap, W, T] layout from

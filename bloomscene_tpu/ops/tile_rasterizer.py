@@ -356,6 +356,12 @@ def rasterize_tiles(proj: ProjectedSplats,
     opac_eff = jnp.where(proj.valid, opacities, 0.0)
     if backend is None:
         backend = 'pallas' if _on_tpu() else 'xla'
+    if tile_sharding is not None and backend == 'pallas':
+        # the Mosaic kernels are single-device programs; under a tile-
+        # sharded mesh the XLA-scan blend partitions cleanly via GSPMD
+        # (per-tile arrays split on the tile axis). A shard_mapped Pallas
+        # path needs real multi-chip hardware to validate — revisit then.
+        backend = 'xla'
     if backend == 'pallas':
         from .pallas.wrapper import tile_blend_pallas
         out = tile_blend_pallas(tile, gx, gy, W, H, tile_capacity,
