@@ -29,6 +29,7 @@ class RenderResult(NamedTuple):
     proj: ProjectedSplats
     tile_overflow: jnp.ndarray
     pair_overflow: jnp.ndarray
+    packed_overflow: jnp.ndarray
     # anchor indices of the visible-compacted set ([visible_capacity] int32,
     # entries == capacity are padding), or None when decode ran dense
     visible_idx: jnp.ndarray | None = None
@@ -111,4 +112,5 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
     return RenderResult(out=out, dec=dec, rate=rate, proj=proj,
                         tile_overflow=bins.tile_overflow,
                         pair_overflow=bins.pair_overflow,
+                        packed_overflow=bins.packed_overflow,
                         visible_idx=visible_idx)

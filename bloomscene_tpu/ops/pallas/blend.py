@@ -21,8 +21,9 @@ to the group's actual occupancy (scalar-prefetched counts).
 
 Backward re-walks back-to-front (chunks iterated reversed via the index
 map) with the CUDA recurrence (backward.cu:477-585) extended with the
-depth/acc channels, writing per-entry gradients [cap, GRAD_W, T] that XLA
-segment-sums into per-Gaussian gradients outside.
+depth/acc channels, writing per-entry gradients [cap, GRAD_W, T] that the
+wrapper reduces to per-Gaussian gradients with an emission-order
+lane-gather + MXU cumsum (see wrapper._bwd — no scatter, no segment-sum).
 """
 from __future__ import annotations
 
@@ -62,12 +63,13 @@ def pack_splat_data_sorted(mean2d, conic, depth, color, opac,
     PC = gauss_sorted.shape[0]
     baseT = jnp.stack([
         mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
-        opac, depth, color[:, 0], color[:, 1], color[:, 2]], 0)
-    baseT = jnp.concatenate(
-        [baseT, jnp.zeros((DATA_W - 10, n), jnp.float32)], 0)  # [W, N]
-    bsT = jnp.take(baseT, gauss_sorted, axis=1)            # [W, PC]
-    bsT = jnp.concatenate(
-        [bsT, jnp.zeros((DATA_W, cap), jnp.float32)], 1)   # slice-safe pad
+        opac, depth, color[:, 0], color[:, 1], color[:, 2]], 0)  # [10, N]
+    # gather only the 10 live rows (DATA_W-10 pad rows would add 60% dead
+    # gather traffic); pad rows + the slice-safe tail join afterwards
+    bsT = jnp.concatenate([
+        jnp.pad(jnp.take(baseT, gauss_sorted, axis=1),
+                ((0, DATA_W - 10), (0, 0))),
+        jnp.zeros((DATA_W, cap), jnp.float32)], 1)         # [W, PC+cap]
     sl = jax.vmap(
         lambda s: jax.lax.dynamic_slice(bsT, (0, s), (DATA_W, cap)))(
         jnp.minimum(t_start, PC))                          # [T, W, cap]

@@ -51,7 +51,9 @@ def _occupancy_perm(counts):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def tile_blend_pallas(tile, gx, gy, W, H, cap, mean2d, conic, depth, color,
-                      opac, bg, gauss_sorted, tile_sorted, t_start, counts):
+                      opac, bg, gauss_sorted, tile_sorted, t_start, counts,
+                      p_of_e=None, starts_by_id=None, ends_by_id=None,
+                      num_packed=None):
     out, _ = _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color,
                        opac, bg, gauss_sorted, tile_sorted, t_start, counts)
     return out
@@ -77,17 +79,20 @@ def _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac,
 
 
 def _fwd(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac, bg,
-         gauss_sorted, tile_sorted, t_start, counts):
+         gauss_sorted, tile_sorted, t_start, counts, p_of_e=None,
+         starts_by_id=None, ends_by_id=None, num_packed=None):
     out, res = _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth,
                          color, opac, bg, gauss_sorted, tile_sorted,
                          t_start, counts)
     return out, (res, bg, gauss_sorted, tile_sorted, t_start,
-                 mean2d.shape[0])
+                 mean2d.shape[0], p_of_e, starts_by_id, ends_by_id,
+                 num_packed)
 
 
 def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
     ((data, counts_p, perm, pos, Tf, acc, D, ncon), bg, gauss_sorted,
-     tile_sorted, t_start, n) = saved
+     tile_sorted, t_start, n, p_of_e, starts_by_id, ends_by_id,
+     num_packed) = saved
     # cotangent images -> permuted position space (match fwd residuals);
     # batched: one tiling transpose + ONE lane-permutation gather for all
     # six cotangent planes instead of six
@@ -112,36 +117,71 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
         data, counts_p, tile, gx, gy, Tf, ncon, g_r, g_g, g_b, u_d, u_one,
         bg_term, tid=perm)                      # [cap, GRAD_W, T_pos]
 
-    # reduce per-entry grads to per-gaussian in two moves:
-    # 1. [cap, W, T] -> sorted-pair-compact [n_pairs, W] with ONE window
-    #    scatter-add: each tile's [cap, W] slab lands at its t_start (tile
-    #    ranges are contiguous in the sorted pair list; slots beyond the
-    #    tile count are zeroed, so the overlap into the next tile's range
-    #    adds zeros). 1024 big windows beat 524K random row gathers ~4x
-    #    on TPU (gathers/scatters are row-latency-bound).
-    # 2. one segment-sum over the pair list keyed by gaussian id.
+    # reduce per-entry grads to per-gaussian. Row scatters serialize on
+    # TPU (~16ns/row) but lane-GATHERS are vectorized, so the fast path
+    # avoids scatter entirely by working in EMISSION ("rank-major") order,
+    # where each Gaussian's pairs are CONTIGUOUS (pair expansion emits
+    # rank-major; ops.tiles.bin_splats(grad_index=True) supplies the
+    # emission<->tile-sort index arrays):
+    #   1. ONE lane-gather pulls the kernel's per-entry grads [10, cap*T]
+    #      into emission order [10, PC] (channels on sublanes — tight).
+    #   2. MXU two-level cumsum along lanes.
+    #   3. boundary-diff at each id's emission range = two [10, n] lane
+    #      gathers. No scatter, no segment-sum.
     n_pairs = gauss_sorted.shape[0]
-    # no masking needed: the kernel writes EXACT zeros for every entry a
-    # tile doesn't own (blended=false zeroes all channels), so the window
-    # overlap into the next tile's range adds zeros by construction.
-    # LAYOUT: the scatter runs in FLAT 1D pair-major space — a [T, cap, W]
-    # update tensor would pad its 16-wide minor dim to 128 lanes (470MB of
-    # hidden HBM traffic at bench size); [T, cap*W] and a 1D operand are
-    # tight.
-    W_ = pb.GRAD_W
-    updates = jnp.transpose(grad, (2, 0, 1)).reshape(
-        grad.shape[2], cap * W_)                # [T_pos, cap*W] (tight)
-    starts_p = jnp.minimum(t_start[perm], n_pairs) * W_
-    dnums = lax.ScatterDimensionNumbers(
-        update_window_dims=(1,), inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0,))
-    buf = lax.scatter_add(
-        jnp.zeros(((n_pairs + cap) * W_,), jnp.float32),
-        starts_p[:, None], updates, dnums)
-    pair_grad = buf.reshape(n_pairs + cap, W_)[:n_pairs, :10]
-    pair_ok = tile_sorted < Tf.shape[1]
-    seg = jnp.where(pair_ok, gauss_sorted, n)
-    sums = jax.ops.segment_sum(pair_grad, seg, n + 1)[:n]   # [n, 10]
+    W_ = 10                      # only the 10 live grad channels move;
+                                 # GRAD_W-10 pad rows stay in the kernel buf
+    T_pos = counts_p.shape[0]
+    if p_of_e is not None:
+        from ..tiles import cumsum_lanes
+        PC = p_of_e.shape[0]
+        # source rows: [10, cap*T + 128]; the trailing zero block is the
+        # dump lane for culled / truncated / over-capacity pairs
+        src = jnp.concatenate([
+            jnp.transpose(grad[:, :W_, :], (1, 0, 2)).reshape(
+                W_, cap * T_pos),
+            jnp.zeros((W_, 128), jnp.float32)], axis=1)
+        DUMP = cap * T_pos
+        live_cap = jnp.minimum(num_packed, n_pairs)
+        psafe = jnp.minimum(p_of_e, n_pairs - 1)
+        t1 = jnp.take(tile_sorted[None, :], psafe, axis=1)[0]   # [PC]
+        tt = jnp.take(jnp.stack([t_start, pos]),
+                      jnp.minimum(t1, T_pos - 1), axis=1)       # [2, PC]
+        slot = psafe - tt[0]
+        ok = (p_of_e < live_cap) & (slot >= 0) & (slot < cap)
+        src_lane = jnp.where(ok, slot * T_pos + tt[1], DUMP)
+        pgT = jnp.take(src, src_lane, axis=1)                   # [10, PC]
+        C = cumsum_lanes(pgT)                                   # inclusive
+        Cx = C - pgT                                            # exclusive
+        s_idx = jnp.minimum(starts_by_id, PC)
+        e_idx = jnp.minimum(ends_by_id, PC)
+        sums_T = jnp.where(
+            (e_idx > s_idx)[None, :],
+            jnp.take(C, jnp.maximum(e_idx - 1, 0), axis=1)
+            - jnp.take(Cx, jnp.minimum(s_idx, PC - 1), axis=1),
+            0.0)                                                # [10, n]
+        sums = sums_T.T
+    else:
+        # fallback (stable-sort binning branch has no emission index):
+        # window scatter-add to the sorted-pair list + one segment-sum.
+        # Each tile's [cap, W] slab lands at its t_start; slots beyond
+        # the tile count are exact zeros, so the overlap into the next
+        # tile's range adds zeros. FLAT 1D pair-major space — a
+        # [T, cap, W] update tensor would pad its 16-wide minor dim to
+        # 128 lanes.
+        updates = jnp.transpose(grad[:, :W_, :], (2, 0, 1)).reshape(
+            grad.shape[2], cap * W_)            # [T_pos, cap*W] (tight)
+        starts_p = jnp.minimum(t_start[perm], n_pairs) * W_
+        dnums = lax.ScatterDimensionNumbers(
+            update_window_dims=(1,), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,))
+        buf = lax.scatter_add(
+            jnp.zeros(((n_pairs + cap) * W_,), jnp.float32),
+            starts_p[:, None], updates, dnums)
+        pair_grad = buf.reshape(n_pairs + cap, W_)[:n_pairs]
+        pair_ok = tile_sorted < Tf.shape[1]
+        seg = jnp.where(pair_ok, gauss_sorted, n)
+        sums = jax.ops.segment_sum(pair_grad, seg, n + 1)[:n]   # [n, 10]
     d_mean2d = sums[:, 0:2]
     d_conic = sums[:, 2:5]
     d_opac = sums[:, 5]
@@ -152,9 +192,11 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
                       jnp.sum(Tf * g_b)])
 
     zero = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
+    zlike = lambda a: None if a is None else zero(jnp.shape(a))
     return (d_mean2d, d_conic, d_depth, d_color, d_opac, d_bg,
             zero((n_pairs,)), zero((n_pairs,)), zero(counts_p.shape),
-            zero(counts_p.shape))
+            zero(counts_p.shape), zlike(p_of_e), zlike(starts_by_id),
+            zlike(ends_by_id), zlike(num_packed))
 
 
 tile_blend_pallas.defvjp(_fwd, _bwd)

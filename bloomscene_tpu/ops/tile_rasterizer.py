@@ -323,10 +323,17 @@ def rasterize_tiles(proj: ProjectedSplats,
                     tile: int = 16,
                     pair_capacity: int | None = None,
                     tile_capacity: int = 1024,
+                    packed_capacity: int | None = None,
                     tile_sharding=None,
                     backend: str | None = None) -> tuple[RenderOutput,
                                                          TileBins]:
     """Bin + blend. Binning indices carry no gradients (stop_gradient).
+
+    ``packed_capacity`` sizes the post-cull sorted pair list (see
+    ops.tiles.bin_splats) — the exact-zero pair cull typically drops
+    20-40% of rect pairs, so a snug packed buffer shrinks the pack /
+    blend / gradient-reduction stages by that factor. Defaults to
+    pair_capacity (always safe).
 
     ``tile_sharding``: optional NamedSharding whose leading axis shards the
     tile grid over a mesh axis — XLA then partitions the blend scan and
@@ -344,9 +351,16 @@ def rasterize_tiles(proj: ProjectedSplats,
         limit = 2 * gx * gy * tile_capacity
         want = 1 << max(16, int(np.ceil(np.log2(max(4 * n, 1)))))
         pair_capacity = max(1024, min(want, limit))
+    if backend is None:
+        backend = 'pallas' if _on_tpu() else 'xla'
+    pallas_path = backend == 'pallas' and tile_sharding is None
     bins = bin_splats(
         ProjectedSplats(*(lax.stop_gradient(x) for x in proj)),
-        W, H, tile, pair_capacity, tile_capacity)
+        W, H, tile, pair_capacity, tile_capacity,
+        opacities=lax.stop_gradient(
+            jnp.where(proj.valid, opacities, 0.0)),
+        packed_capacity=packed_capacity,
+        grad_index=pallas_path, need_entries=not pallas_path)
     if tile_sharding is not None:
         bins = bins._replace(
             entries=lax.with_sharding_constraint(bins.entries, tile_sharding),
@@ -354,8 +368,6 @@ def rasterize_tiles(proj: ProjectedSplats,
                                                     tile_sharding))
     # neutralize contributions of invalid splats (mirrors radius-0 cull)
     opac_eff = jnp.where(proj.valid, opacities, 0.0)
-    if backend is None:
-        backend = 'pallas' if _on_tpu() else 'xla'
     if tile_sharding is not None and backend == 'pallas':
         # the Mosaic kernels are single-device programs; under a tile-
         # sharded mesh the XLA-scan blend partitions cleanly via GSPMD
@@ -368,7 +380,9 @@ def rasterize_tiles(proj: ProjectedSplats,
                                 proj.mean2d, proj.conic, proj.depth,
                                 colors, opac_eff, bg, bins.gauss_sorted,
                                 bins.tile_sorted, bins.t_start,
-                                bins.counts)
+                                bins.counts, bins.p_of_e,
+                                bins.starts_by_id, bins.ends_by_id,
+                                bins.num_packed)
     else:
         out = tile_blend(tile, gx, gy, W, H, proj.mean2d, proj.conic,
                          proj.depth, colors, opac_eff, bg, bins.entries,

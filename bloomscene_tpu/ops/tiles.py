@@ -45,10 +45,20 @@ class TileBins(NamedTuple):
     num_pairs: jnp.ndarray      # [] int32 total (untruncated) pair count
     pair_overflow: jnp.ndarray  # [] int32 pairs dropped by pair_capacity
     tile_overflow: jnp.ndarray  # [] int32 entries dropped by tile_capacity
-    gauss_sorted: jnp.ndarray   # [pair_capacity] int32 tile-then-depth order
-    tile_sorted: jnp.ndarray    # [pair_capacity] int32 tile id per pair
+    gauss_sorted: jnp.ndarray   # [packed_capacity] int32 tile-then-depth order
+    tile_sorted: jnp.ndarray    # [packed_capacity] int32 tile id per pair
     t_start: jnp.ndarray        # [num_tiles] int32 range starts into above
     counts: jnp.ndarray         # [num_tiles] int32 clamped to tile_capacity
+    num_packed: jnp.ndarray     # [] int32 pairs surviving the zero-alpha cull
+    packed_overflow: jnp.ndarray  # [] int32 survivors dropped by packed_capacity
+    # gradient-reduction index (grad_index=True, unique-key branch only):
+    # emission ("rank-major") order makes each Gaussian's pairs CONTIGUOUS,
+    # so per-Gaussian gradient sums become cumsum + boundary-diff — all
+    # vectorized lane ops, replacing the serial scatter-add segment-sum.
+    p_of_e: jnp.ndarray | None = None        # [pair_capacity] int32: tile-
+    #   sorted position of each emission slot (inverse of the tile sort)
+    starts_by_id: jnp.ndarray | None = None  # [n] int32 emission range start
+    ends_by_id: jnp.ndarray | None = None    # [n] int32 emission range end
 
 
 def tile_grid(W: int, H: int, tile: int) -> tuple[int, int]:
@@ -83,6 +93,29 @@ def cumsum_f32_exact(x: jnp.ndarray) -> jnp.ndarray:
     return (within + carry[:, None]).reshape(-1)[:P]
 
 
+def cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along axis=1 of a [R, P] f32 array.
+
+    Same two-level matmul formulation as cumsum_f32_exact (blocks of 128
+    lanes against a triangular ones matrix on the MXU, HIGHEST
+    precision), batched over rows. For float data the block reordering
+    changes rounding vs a sequential scan — fine for gradient
+    reductions, where summation order is unspecified anyway.
+    """
+    R, P = x.shape
+    C = 128
+    if P <= C:
+        return jnp.cumsum(x, axis=1)
+    B = -(-P // C)
+    xp = jnp.pad(x, ((0, 0), (0, B * C - P))).reshape(R * B, C)
+    tri = jnp.triu(jnp.ones((C, C), x.dtype))
+    within = jnp.matmul(xp, tri,
+                        precision=lax.Precision.HIGHEST).reshape(R, B, C)
+    totals = within[:, :, -1]                        # [R, B]
+    carry = jnp.cumsum(totals, axis=1) - totals      # exclusive, small
+    return (within + carry[:, :, None]).reshape(R, B * C)[:, :P]
+
+
 def cummax_1d(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix max of a 1D array, two-level formulation.
 
@@ -108,52 +141,120 @@ def cummax_1d(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(within, carry[:, None]).reshape(-1)[:P]
 
 
-def compute_tile_rects(proj: ProjectedSplats, W: int, H: int, tile: int):
-    """Per-Gaussian clamped tile rectangle [x0,x1)x[y0,y1) + touched count."""
+def compute_tile_rects(proj: ProjectedSplats, W: int, H: int, tile: int,
+                       opacities: jnp.ndarray | None = None):
+    """Per-Gaussian clamped tile rectangle [x0,x1)x[y0,y1) + touched count.
+
+    Without ``opacities`` this is the reference rect (getRect,
+    auxiliary.h:46-56): a square of the 3-sigma circle radius. With
+    ``opacities`` the square is INTERSECTED with the opacity-aware ellipse
+    bounding box: a pixel can contribute only when
+    alpha = opac * exp(-q) >= 1/255, i.e. q <= ln(255*opac), and the
+    extent of {q <= qmax} along x is sqrt(2*qmax*Sigma_xx) with
+    Sigma = inv(conic) (the DILATED 2D covariance the blend uses). The
+    intersection keeps the pair set a subset of the reference's while
+    dropping only pairs the per-pixel 1/255 test would ignore anyway —
+    outputs and gradients are bitwise unchanged, but anisotropic and
+    low-opacity splats emit far fewer pairs (the per-tile exact-zero cull
+    in bin_splats then prunes the corner tiles this box still keeps).
+    """
     gx, gy = tile_grid(W, H, tile)
     r = proj.radius.astype(jnp.float32)
     x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    live = proj.valid
+    if opacities is not None:
+        ca, cb, cc = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+        det = jnp.maximum(ca * cc - cb * cb, 1e-24)
+        # + 1e-3 threshold margin and + 1e-2 px extent margin: covers f32
+        # skew between this bound and the kernels' per-pixel power (same
+        # margin family as the bin_splats cull).
+        qmax = jnp.log(jnp.maximum(255.0 * opacities, 1e-12)) + 1e-3
+        s2 = 2.0 * jnp.maximum(qmax, 0.0) / det
+        rx = jnp.minimum(r, jnp.sqrt(s2 * cc) + 1e-2)
+        ry = jnp.minimum(r, jnp.sqrt(s2 * ca) + 1e-2)
+        live = live & (qmax > 0)
+    else:
+        rx = ry = r
     # (int) cast in CUDA truncates toward zero, but values are clamped to
     # [0, grid] afterwards, so floor vs trunc only differs for negatives that
     # clamp to 0 anyway.
-    x0 = jnp.clip(jnp.floor((x - r) / tile), 0, gx).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((y - r) / tile), 0, gy).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((x + r + tile - 1) / tile), 0, gx).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((y + r + tile - 1) / tile), 0, gy).astype(jnp.int32)
-    touched = jnp.where(proj.valid, (x1 - x0) * (y1 - y0), 0)
+    x0 = jnp.clip(jnp.floor((x - rx) / tile), 0, gx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((y - ry) / tile), 0, gy).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((x + rx + tile - 1) / tile), 0,
+                  gx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((y + ry + tile - 1) / tile), 0,
+                  gy).astype(jnp.int32)
+    touched = jnp.where(live, (x1 - x0) * (y1 - y0), 0)
     return x0, y0, x1, y1, touched
 
 
 def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
-               pair_capacity: int, tile_capacity: int) -> TileBins:
-    """Build per-tile depth-sorted splat lists (static shapes throughout)."""
+               pair_capacity: int, tile_capacity: int,
+               opacities: jnp.ndarray | None = None,
+               packed_capacity: int | None = None,
+               grad_index: bool = False,
+               need_entries: bool = True) -> TileBins:
+    """Build per-tile depth-sorted splat lists (static shapes throughout).
+
+    ``opacities`` (optional, [N], stop-gradient values) enables the
+    EXACT-ZERO PAIR CULL: a pair whose maximum possible alpha over its
+    tile's pixel box is < 1/255 can never pass the blend's contribution
+    test (alpha >= 1/255, forward.cu:427-432 semantics), in forward OR
+    backward — dropping it leaves every output and gradient bitwise
+    unchanged. The test is the exact minimum of the conic quadratic over
+    the tile's pixel box vs ln(255*opacity) (with a small safety margin
+    for f32 rounding). The CUDA reference conservatively keeps the full
+    radius-square rect (getRect, auxiliary.h:46-56); on the bench scene
+    the exact test drops ~24% of pairs, shrinking every pair-proportional
+    cost (pack, blend walk, gradient reduction).
+
+    ``packed_capacity`` (static, <= pair_capacity) sizes the post-cull
+    sorted pair list (gauss_sorted/tile_sorted and the per-tile slabs).
+    Culled pairs sort to the tail, so a snug packed buffer skips them;
+    survivors beyond it are dropped and reported in ``packed_overflow``.
+    """
     gx, gy = tile_grid(W, H, tile)
     num_tiles = gx * gy
     n = proj.mean2d.shape[0]
+    if packed_capacity is None:
+        packed_capacity = pair_capacity
     if n == 0:
         return TileBins(
             entries=jnp.zeros((num_tiles, tile_capacity), jnp.int32),
             entry_mask=jnp.zeros((num_tiles, tile_capacity), bool),
             num_pairs=jnp.int32(0), pair_overflow=jnp.int32(0),
             tile_overflow=jnp.int32(0),
-            gauss_sorted=jnp.zeros((pair_capacity,), jnp.int32),
-            tile_sorted=jnp.full((pair_capacity,), num_tiles, jnp.int32),
+            gauss_sorted=jnp.zeros((packed_capacity,), jnp.int32),
+            tile_sorted=jnp.full((packed_capacity,), num_tiles, jnp.int32),
             t_start=jnp.zeros((num_tiles,), jnp.int32),
-            counts=jnp.zeros((num_tiles,), jnp.int32))
+            counts=jnp.zeros((num_tiles,), jnp.int32),
+            num_packed=jnp.int32(0), packed_overflow=jnp.int32(0))
 
     x0, y0, x1, _y1, touched = compute_tile_rects(proj, W, H, tile)
 
-    # depth pre-sort carrying the rect data as SORT PAYLOADS: moving 5
+    # depth pre-sort carrying the rect data as SORT PAYLOADS: moving
     # payload columns through lax.sort costs less than the random [n, 4]
     # row gather by an argsort order (gathers are row-latency-bound).
     # Stable, so equal depths keep id order — together with the stable
     # tile sort this reproduces the CUDA (tile, depth-bits, emission
     # order) key exactly (rasterizer_impl.cu:70-111 + stable radix sort).
+    # The three 9-bit rect fields ride in ONE packed i32 payload (sort
+    # cost is per-operand per-pass).
     width = jnp.maximum(x1 - x0, 1)
     key = jnp.where(proj.valid, proj.depth, jnp.inf)
-    _, x0_s, y0_s, w_s, touched_s, order = lax.sort(
-        (key, x0, y0, width, touched,
-         jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
+    pack_rect = gx <= 511 and gy <= 511
+    if pack_rect:
+        rect_packed = (x0 << 18) | (y0 << 9) | width
+        _, packed_s, touched_s, order = lax.sort(
+            (key, rect_packed, touched,
+             jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
+        x0_s = packed_s >> 18
+        y0_s = (packed_s >> 9) & 511
+        w_s = packed_s & 511
+    else:
+        _, x0_s, y0_s, w_s, touched_s, order = lax.sort(
+            (key, x0, y0, width, touched,
+             jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
 
     offsets = cumsum_f32_exact(touched_s.astype(jnp.float32)).astype(jnp.int32)
     total = offsets[-1]
@@ -165,59 +266,165 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     # drop a marker (rank + 1) at each rank's start slot and take the
     # running max; slots before the first marker clamp to rank 0.
     rid = jnp.arange(n, dtype=jnp.int32)
+    # start slots of touched>0 ranks are strictly increasing, and untouched
+    # ranks get DISTINCT out-of-bounds slots (dropped) => indices globally
+    # unique; unique_indices lets XLA skip the collision-serialization path
     markers = jnp.zeros((pair_capacity,), jnp.float32).at[
-        jnp.where(touched_s > 0, starts, pair_capacity)].max(
-        (rid + 1).astype(jnp.float32), mode='drop')
+        jnp.where(touched_s > 0, starts, pair_capacity + rid)].max(
+        (rid + 1).astype(jnp.float32), mode='drop', unique_indices=True)
     rank_c = jnp.maximum(cummax_1d(markers).astype(jnp.int32) - 1, 0)
 
     # one packed per-pair gather; carries the ORIGINAL id as a row so no
     # second 524K-gather is needed to map ranks back (measured ~5 ms
-    # saved). TRANSPOSED [5, P]: a [P, 5] gather output would pad its
-    # minor dim 5 -> 128 lanes (25x hidden HBM traffic).
-    pgT = jnp.take(jnp.stack([starts, x0_s, y0_s, w_s, order], 0),
-                   rank_c, axis=1)                      # [5, P]
-    gauss_o = pgT[4]
+    # saved). TRANSPOSED [rows, P]: a [P, rows] gather output would pad
+    # its minor dim -> 128 lanes (25x hidden HBM traffic). The cull's
+    # per-splat table rides along as extra rows (bitcast to i32): one
+    # [n]-sized re-key to rank order replaces a second full-P gather —
+    # gather cost is dominated by index processing, not extra rows.
+    atab_s = None
+    if opacities is not None:
+        atab = jnp.stack([
+            proj.mean2d[:, 0], proj.mean2d[:, 1], proj.conic[:, 0],
+            proj.conic[:, 1], proj.conic[:, 2],
+            jnp.log(jnp.maximum(255.0 * opacities, 1e-12))], 0)  # [6, N]
+        atab_s = lax.bitcast_convert_type(
+            jnp.take(atab, order, axis=1), jnp.int32)            # [6, n]
+    if pack_rect:
+        tab = jnp.stack([starts, packed_s, order], 0)
+        if atab_s is not None:
+            tab = jnp.concatenate([tab, atab_s], 0)
+        pgT = jnp.take(tab, rank_c, axis=1)             # [3(+6), P]
+        gauss_o = pgT[2]
+        p_x0 = pgT[1] >> 18
+        p_y0 = (pgT[1] >> 9) & 511
+        p_w = pgT[1] & 511
+        av = pgT[3:9]
+    else:
+        tab = jnp.stack([starts, x0_s, y0_s, w_s, order], 0)
+        if atab_s is not None:
+            tab = jnp.concatenate([tab, atab_s], 0)
+        pgT = jnp.take(tab, rank_c, axis=1)             # [5(+6), P]
+        gauss_o = pgT[4]
+        p_x0, p_y0, p_w = pgT[1], pgT[2], pgT[3]
+        av = pgT[5:11]
 
     k = jnp.arange(pair_capacity, dtype=jnp.int32)
     local = k - pgT[0]
-    w = pgT[3]
+    w = p_w
     # local // width via exact float-reciprocal trick (integer div lowers
     # to a slow VPU loop): local <= ~2^13, width <= 2^7 => f32 exact with a
     # 2^-10 nudge (error < 2^-9 < min fraction 1/width)
     q = jnp.floor(local.astype(jnp.float32)
                   * (1.0 / w.astype(jnp.float32))
                   + 0.0009765625).astype(jnp.int32)
-    tx = pgT[1] + (local - q * w)
-    ty = pgT[2] + q
+    tx = p_x0 + (local - q * w)
+    ty = p_y0 + q
     pair_valid = k < total
-    tile_id = jnp.where(pair_valid, ty * gx + tx, num_tiles).astype(jnp.int32)
 
-    # stable single-key sort by tile; emission order IS depth order, so
-    # within a tile pairs come out front-to-back.
-    tile_s, gauss_s = lax.sort((tile_id, gauss_o), num_keys=1,
-                               is_stable=True)
+    if opacities is not None:
+        # exact-zero pair cull (see docstring): minimum of the conic
+        # quadratic q(d) = 0.5(a dx^2 + c dy^2) + b dx dy over the tile's
+        # pixel box [tx*tile, tx*tile+tile-1] x [ty*tile, ...] vs the
+        # contribution threshold ln(255 * opacity). Splat attrs arrived
+        # as extra rows of the pg gather (av, bitcast back to f32).
+        av = lax.bitcast_convert_type(av, jnp.float32)
+        mx, my, ca, cb, cc, ln_t = (av[0], av[1], av[2], av[3], av[4],
+                                    av[5])
+        ftile = jnp.float32(tile)
+        lox = tx.astype(jnp.float32) * ftile - mx
+        hix = lox + (ftile - 1.0)
+        loy = ty.astype(jnp.float32) * ftile - my
+        hiy = loy + (ftile - 1.0)
 
-    # tile ranges: 1K binary searches over the sorted pair list (cheap;
-    # the scatter-min formulation serializes on collisions and costs 3x)
+        def qq(dx, dy):
+            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+        def edge_x(dx):          # min over dy at fixed dx (clamped)
+            return qq(dx, jnp.clip(-cb * dx / cc, loy, hiy))
+
+        def edge_y(dy):
+            return qq(jnp.clip(-cb * dy / ca, lox, hix), dy)
+
+        qmin = jnp.minimum(
+            jnp.minimum(edge_x(lox), edge_x(hix)),
+            jnp.minimum(edge_y(loy), edge_y(hiy)))
+        inside = (lox <= 0) & (hix >= 0) & (loy <= 0) & (hiy >= 0)
+        qmin = jnp.where(inside, 0.0, qmin)
+        # 1e-3 margin: covers f32 evaluation skew between this bound and
+        # the kernels' per-pixel power; keeps any pair within rounding
+        # distance of contributing.
+        pair_live = pair_valid & (qmin <= ln_t + 1e-3)
+    else:
+        pair_live = pair_valid
+    tile_id = jnp.where(pair_live, ty * gx + tx, num_tiles).astype(jnp.int32)
+    num_packed = jnp.sum(pair_live.astype(jnp.int32))
+
+    # sort by tile; emission order IS depth order, so within a tile pairs
+    # come out front-to-back. Culled pairs carry tile_id == num_tiles and
+    # sort to the tail, past packed_capacity.
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    t_start = jnp.searchsorted(tile_s, tids, side='left').astype(jnp.int32)
-    t_end = jnp.searchsorted(tile_s, tids, side='right').astype(jnp.int32)
+    p_of_e = starts_by_id = ends_by_id = None
+    kbits = max(1, pair_capacity - 1).bit_length()
+    if kbits < 31 and (num_tiles + 1) < (1 << (31 - kbits)):
+        # UNIQUE single-key sort (tile << kbits | emission slot): the
+        # embedded slot makes keys distinct, so an unstable sort is
+        # deterministic AND skips the hidden iota operand XLA adds to
+        # stabilize — one fewer 32-bit column through every sort pass.
+        keyi = (tile_id << kbits) | k
+        key_s, gauss_s = lax.sort((keyi, gauss_o), num_keys=1,
+                                  is_stable=False)
+        if grad_index:
+            # invert the tile sort: the emission slot rides in the key's
+            # low bits, so one 2-operand int sort by it recovers, for
+            # every emission slot, its position in the tile-sorted list.
+            eslot = key_s & ((1 << kbits) - 1)
+            _, p_of_e = lax.sort((eslot, k), num_keys=1, is_stable=False)
+            # per-ORIGINAL-ID emission ranges: rank r owns emission slots
+            # [starts[r], offsets[r]); one 3-payload sort by the id
+            # permutation re-keys both range arrays from rank to id order.
+            _, starts_by_id, ends_by_id = lax.sort(
+                (order, starts, offsets), num_keys=1, is_stable=False)
+        key_s = key_s[:packed_capacity]
+        gauss_s = gauss_s[:packed_capacity]
+        tile_s = (key_s >> kbits).astype(jnp.int32)
+        # tile ranges directly on the packed keys (keys of tile t live in
+        # [t << kbits, (t+1) << kbits))
+        t_start = jnp.searchsorted(key_s, tids << kbits,
+                                   side='left').astype(jnp.int32)
+        t_end = jnp.searchsorted(key_s, (tids + 1) << kbits,
+                                 side='left').astype(jnp.int32)
+    else:
+        tile_s, gauss_s = lax.sort((tile_id, gauss_o), num_keys=1,
+                                   is_stable=True)
+        tile_s = tile_s[:packed_capacity]
+        gauss_s = gauss_s[:packed_capacity]
+        # tile ranges: 1K binary searches over the sorted pair list
+        # (cheap; the scatter-min formulation serializes on collisions)
+        t_start = jnp.searchsorted(tile_s, tids,
+                                   side='left').astype(jnp.int32)
+        t_end = jnp.searchsorted(tile_s, tids,
+                                 side='right').astype(jnp.int32)
 
     # fixed-capacity per-tile lists: tile ranges are CONTIGUOUS in the
     # sorted pair list, so use vmapped dynamic slices (a 1M-element random
-    # gather costs 3x more than the strided slice reads)
-    gpad = jnp.concatenate(
-        [gauss_s, jnp.zeros((tile_capacity,), jnp.int32)])
-    sliced = jax.vmap(
-        lambda s: lax.dynamic_slice(gpad, (s,), (tile_capacity,)))(
-        jnp.minimum(t_start, pair_capacity))
-    c = jnp.arange(tile_capacity, dtype=jnp.int32)
-    entry_mask = (t_start[:, None] + c[None, :]) < t_end[:, None]
-    entries = jnp.where(entry_mask, sliced, 0).astype(jnp.int32)
+    # gather costs 3x more than the strided slice reads). The Pallas
+    # backend packs straight from the sorted pair list and never reads
+    # these — need_entries=False skips ~1.5 ms of dead work there.
+    entries = entry_mask = None
+    if need_entries:
+        gpad = jnp.concatenate(
+            [gauss_s, jnp.zeros((tile_capacity,), jnp.int32)])
+        sliced = jax.vmap(
+            lambda s: lax.dynamic_slice(gpad, (s,), (tile_capacity,)))(
+            jnp.minimum(t_start, packed_capacity))
+        c = jnp.arange(tile_capacity, dtype=jnp.int32)
+        entry_mask = (t_start[:, None] + c[None, :]) < t_end[:, None]
+        entries = jnp.where(entry_mask, sliced, 0).astype(jnp.int32)
 
     counts = t_end - t_start
     tile_overflow = jnp.sum(jnp.maximum(counts - tile_capacity, 0))
     pair_overflow = jnp.maximum(total - pair_capacity, 0)
+    packed_overflow = jnp.maximum(num_packed - packed_capacity, 0)
     return TileBins(entries=entries, entry_mask=entry_mask,
                     num_pairs=total.astype(jnp.int32),
                     pair_overflow=pair_overflow.astype(jnp.int32),
@@ -225,4 +432,8 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
                     gauss_sorted=gauss_s,
                     tile_sorted=tile_s,
                     t_start=t_start,
-                    counts=jnp.minimum(counts, tile_capacity))
+                    counts=jnp.minimum(counts, tile_capacity),
+                    num_packed=num_packed.astype(jnp.int32),
+                    packed_overflow=packed_overflow.astype(jnp.int32),
+                    p_of_e=p_of_e, starts_by_id=starts_by_id,
+                    ends_by_id=ends_by_id)

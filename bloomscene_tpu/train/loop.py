@@ -37,6 +37,7 @@ class StepMetrics(NamedTuple):
     n_visible_anchors: jnp.ndarray
     tile_overflow: jnp.ndarray
     pair_overflow: jnp.ndarray
+    packed_overflow: jnp.ndarray
 
 
 def phase_of_step(step: int, cfg: GSConfig) -> int:
@@ -149,7 +150,8 @@ def make_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
             bit_per_param=res.rate.bit_per_param, psnr=aux['psnr'],
             n_visible_anchors=jnp.sum(visible),
             tile_overflow=res.tile_overflow,
-            pair_overflow=res.pair_overflow)
+            pair_overflow=res.pair_overflow,
+            packed_overflow=res.packed_overflow)
         return model, opt_state, stats, metrics
 
     return train_step
@@ -259,7 +261,8 @@ class Trainer:
                         "skipped this step — raise GSConfig."
                         "visible_capacity for full coverage",
                         RuntimeWarning, stacklevel=2)
-                if rec['pair_overflow'] > 0 or rec['tile_overflow'] > 0:
+                if (rec['pair_overflow'] > 0 or rec['tile_overflow'] > 0
+                        or rec['packed_overflow'] > 0):
                     # truncation is depth-aware (ops/tiles.py: farthest
                     # splats dropped first) but still lossy — tell the user
                     # to raise the capacities if it persists
@@ -267,7 +270,8 @@ class Trainer:
                     warnings.warn(
                         f"rasterizer capacity overflow at step {it}: "
                         f"pair_overflow={int(rec['pair_overflow'])} "
-                        f"tile_overflow={int(rec['tile_overflow'])} — "
+                        f"tile_overflow={int(rec['tile_overflow'])} "
+                        f"packed_overflow={int(rec['packed_overflow'])} — "
                         "farthest splats are being dropped; consider raising "
                         "GSConfig.pair_capacity/max_splats_per_tile",
                         RuntimeWarning, stacklevel=2)

@@ -167,6 +167,74 @@ def test_pair_overflow_drops_farthest_first(rng):
         assert depth[kept].max() <= depth[np.array(sorted(lost_ids))].min() + 1e-6
 
 
+def test_exact_zero_pair_cull(rng):
+    """The opacity-aware ellipse/box cull only drops pairs whose max alpha
+    over the tile is < 1/255 (zero contribution fwd AND bwd), and a snug
+    packed_capacity reproduces the full-buffer render bitwise."""
+    means, scales, quats, colors, opac = random_scene(rng, 300)
+    proj = project(means, scales, quats)
+    opac_eff = jnp.where(proj.valid, opac, 0.0)
+    base = bin_splats(proj, W, H, TILE, pair_capacity=8192,
+                      tile_capacity=256)
+    cull = bin_splats(proj, W, H, TILE, pair_capacity=8192,
+                      tile_capacity=256, opacities=opac_eff)
+    assert int(cull.num_packed) < int(base.num_pairs), "cull dropped nothing"
+    assert int(cull.packed_overflow) == 0
+
+    # brute force: every (tile, gaussian) pair present in base but culled
+    # must have alpha < 1/255 at ALL of its tile's pixels
+    gx = W // TILE
+    mean2d = np.asarray(proj.mean2d)
+    conic = np.asarray(proj.conic)
+    op = np.asarray(opac_eff)
+    ent_b, msk_b = np.asarray(base.entries), np.asarray(base.entry_mask)
+    ent_c, msk_c = np.asarray(cull.entries), np.asarray(cull.entry_mask)
+    checked = 0
+    for t in range(ent_b.shape[0]):
+        dropped = set(ent_b[t][msk_b[t]].tolist()) \
+            - set(ent_c[t][msk_c[t]].tolist())
+        tx0, ty0 = (t % gx) * TILE, (t // gx) * TILE
+        pxs, pys = np.meshgrid(np.arange(tx0, tx0 + TILE),
+                               np.arange(ty0, ty0 + TILE))
+        for i in dropped:
+            dx = mean2d[i, 0] - pxs
+            dy = mean2d[i, 1] - pys
+            power = (-0.5 * (conic[i, 0] * dx * dx + conic[i, 2] * dy * dy)
+                     - conic[i, 1] * dx * dy)
+            alpha = np.minimum(0.99, op[i] * np.exp(power))
+            assert alpha.max() < 1.0 / 255.0, \
+                f"culled contributing pair (tile {t}, gaussian {i})"
+            checked += 1
+    assert checked > 0, "no pairs were culled anywhere"
+
+    # snug packed buffer: bitwise-identical render + grads vs full buffer
+    packed_snug = int(-(-int(cull.num_packed) // 256) * 256)
+
+    def run(packed):
+        def loss(args):
+            m, c, o = args
+            cov6 = projection.build_cov3d(scales, quats)
+            view, full_m, fx, fy, tfx, tfy = make_camera()
+            pr = projection.project_gaussians(m, cov6, view, full_m, W, H,
+                                              fx, fy, tfx, tfy)
+            out, bins = rasterize_tiles(pr, c, o, jnp.zeros(3), W, H,
+                                        tile=TILE, pair_capacity=8192,
+                                        tile_capacity=256,
+                                        packed_capacity=packed)
+            return jnp.sum(out.color) + jnp.sum(out.depth), out
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(
+            (means, colors, opac))
+        return l, out, g
+
+    l_full, out_full, g_full = run(None)
+    l_snug, out_snug, g_snug = run(packed_snug)
+    assert float(l_full) == float(l_snug)
+    np.testing.assert_array_equal(np.asarray(out_full.color),
+                                  np.asarray(out_snug.color))
+    for a, b in zip(g_full, g_snug):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_jit_and_shapes(rng):
     means, scales, quats, colors, opac = random_scene(rng, 30)
 
@@ -180,3 +248,42 @@ def test_jit_and_shapes(rng):
     out = run(means, colors, opac)
     assert out.color.shape == (H, W, 3)
     assert out.depth.shape == (H, W)
+
+
+def test_grad_index_invariants(rng):
+    """bin_splats(grad_index=True): p_of_e inverts the tile sort and the
+    per-id emission ranges tile the emitted pair list exactly."""
+    means, scales, quats, colors, opac = random_scene(rng, 100)
+    proj = project(means, scales, quats)
+    n = means.shape[0]
+    PC = 4096
+    bins = bin_splats(proj, W, H, TILE, pair_capacity=PC,
+                      tile_capacity=256,
+                      opacities=jnp.where(proj.valid, opac, 0.0),
+                      grad_index=True)
+    assert bins.p_of_e is not None
+    p_of_e = np.asarray(bins.p_of_e)
+    # inverse-permutation property
+    assert sorted(p_of_e.tolist()) == list(range(PC))
+    s = np.asarray(bins.starts_by_id)
+    e = np.asarray(bins.ends_by_id)
+    total = int(bins.num_pairs)
+    assert (e >= s).all()
+    assert int(np.sum(e - s)) == total
+    # ranges are disjoint and cover [0, total)
+    order = np.argsort(s, kind="stable")
+    nz = order[(e - s)[order] > 0]
+    assert s[nz[0]] == 0 and e[nz[-1]] == total
+    assert (s[nz][1:] == e[nz][:-1]).all()
+    # each id's emission range maps (via p_of_e) to tile-sorted positions
+    # whose gaussian id is that id (survivors only)
+    gauss_sorted = np.asarray(bins.gauss_sorted)
+    tile_sorted = np.asarray(bins.tile_sorted)
+    num_tiles = (W // TILE) * (H // TILE)
+    npk = int(bins.num_packed)
+    for g in rng.integers(0, n, 25):
+        for eslot in range(s[g], e[g]):
+            p = p_of_e[eslot]
+            if p < npk:
+                assert gauss_sorted[p] == g
+                assert tile_sorted[p] < num_tiles
