@@ -90,71 +90,123 @@ def make_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
     def train_step(model: Model, opt_state, stats: DensifyStats,
                    cam: CameraArrays, gt_image, gt_depth, key,
                    *, phase: int, track_stats: bool):
-        visible = prefilter_anchors(model, intr, cam)
-        n_anch = model.state.capacity
-        if (cfg.visible_capacity is not None
-                and n_anch > cfg.visible_capacity):
-            n_anch = cfg.visible_capacity
-        n_child = n_anch * model.state.n_offsets
-        m2d_offset = jnp.zeros((n_child * 2,))      # flat: [V*K, 2] pads 64x
-
-        def render_fn(m, m2d):
-            return render(m, intr, cam, cfg, phase=phase, mode='train',
-                          key=key, bg=bg, visible=visible,
-                          mean2d_offset=m2d)
-
-        if cfg.remat:
-            render_fn = jax.checkpoint(render_fn)
-
-        def loss_fn(m, m2d):
-            res = render_fn(m, m2d)
-            loss, aux = compute_losses(res, gt_image, gt_depth, cfg)
-            return loss, (res, aux)
-
-        (loss, (res, aux)), (g_model, g_m2d) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True, allow_int=True)(
-                model, m2d_offset)
-
-        # frozen/bool leaves: replace int/bool cotangents with zeros
-        g_model = jax.tree.map(
-            lambda p, g: (jnp.zeros_like(p)
-                          if not jnp.issubdtype(p.dtype, jnp.floating)
-                          else g), model, g_model)
-        # a single non-finite loss OR gradient would NaN-poison every
-        # parameter through Adam in one step (even zero-lr groups): a
-        # finite loss can still carry inf/NaN grads (overflow inside a
-        # masked branch). Skip such updates entirely.
-        gsum = sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(g_model)
-                   if jnp.issubdtype(g.dtype, jnp.floating))
-        ok = jnp.isfinite(loss) & jnp.isfinite(gsum)
-        g_model = jax.tree.map(
-            lambda g: (jnp.where(ok, g, jnp.zeros_like(g))
-                       if jnp.issubdtype(g.dtype, jnp.floating) else g),
-            g_model)
-        updates, opt_state = optimizer.update(g_model, opt_state, model)
-        model = jax.tree.map(
-            lambda p, u: p + u if jnp.issubdtype(p.dtype, jnp.floating)
-            else p, model, updates)
-
-        if track_stats:
-            stats = densify.accumulate_stats(
-                stats, res.dec.neural_opacity, res.dec.valid,
-                jax.lax.stop_gradient(res.proj.valid), visible, g_m2d,
-                intr.width, intr.height, anchor_idx=res.visible_idx)
-
-        metrics = StepMetrics(
-            loss=loss, loss_rgb=aux['loss_rgb'],
-            loss_dep_value=aux['loss_dep_value'],
-            loss_dep_domin=aux['loss_dep_domin'],
-            loss_dep_smooth=aux['loss_dep_smooth'],
-            bit_per_param=res.rate.bit_per_param, psnr=aux['psnr'],
-            n_visible_anchors=jnp.sum(visible),
-            tile_overflow=res.tile_overflow,
-            pair_overflow=res.pair_overflow,
-            packed_overflow=res.packed_overflow)
-        return model, opt_state, stats, metrics
+        return _step_core(cfg, intr, optimizer, bg, model, opt_state,
+                          stats, cam, gt_image, gt_depth, key, phase,
+                          track_stats)
 
     return train_step
+
+
+def _step_core(cfg: GSConfig, intr: Intrinsics, optimizer, bg,
+               model: Model, opt_state, stats: DensifyStats,
+               cam: CameraArrays, gt_image, gt_depth, key,
+               phase: int, track_stats: bool):
+    """One SGD step (trace-time body shared by the per-step jit and the
+    device-loop scan)."""
+    visible = prefilter_anchors(model, intr, cam)
+    n_anch = model.state.capacity
+    if (cfg.visible_capacity is not None
+            and n_anch > cfg.visible_capacity):
+        n_anch = cfg.visible_capacity
+    n_child = n_anch * model.state.n_offsets
+    m2d_offset = jnp.zeros((n_child * 2,))      # flat: [V*K, 2] pads 64x
+
+    def render_fn(m, m2d):
+        return render(m, intr, cam, cfg, phase=phase, mode='train',
+                      key=key, bg=bg, visible=visible,
+                      mean2d_offset=m2d)
+
+    if cfg.remat:
+        render_fn = jax.checkpoint(render_fn)
+
+    def loss_fn(m, m2d):
+        res = render_fn(m, m2d)
+        loss, aux = compute_losses(res, gt_image, gt_depth, cfg)
+        return loss, (res, aux)
+
+    (loss, (res, aux)), (g_model, g_m2d) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True, allow_int=True)(
+            model, m2d_offset)
+
+    # frozen/bool leaves: replace int/bool cotangents with zeros
+    g_model = jax.tree.map(
+        lambda p, g: (jnp.zeros_like(p)
+                      if not jnp.issubdtype(p.dtype, jnp.floating)
+                      else g), model, g_model)
+    # a single non-finite loss OR gradient would NaN-poison every
+    # parameter through Adam in one step (even zero-lr groups): a
+    # finite loss can still carry inf/NaN grads (overflow inside a
+    # masked branch). Skip such updates entirely.
+    gsum = sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(g_model)
+               if jnp.issubdtype(g.dtype, jnp.floating))
+    ok = jnp.isfinite(loss) & jnp.isfinite(gsum)
+    g_model = jax.tree.map(
+        lambda g: (jnp.where(ok, g, jnp.zeros_like(g))
+                   if jnp.issubdtype(g.dtype, jnp.floating) else g),
+        g_model)
+    updates, opt_state = optimizer.update(g_model, opt_state, model)
+    model = jax.tree.map(
+        lambda p, u: p + u if jnp.issubdtype(p.dtype, jnp.floating)
+        else p, model, updates)
+
+    if track_stats:
+        stats = densify.accumulate_stats(
+            stats, res.dec.neural_opacity, res.dec.valid,
+            jax.lax.stop_gradient(res.proj.valid), visible, g_m2d,
+            intr.width, intr.height, anchor_idx=res.visible_idx)
+
+    metrics = StepMetrics(
+        loss=loss, loss_rgb=aux['loss_rgb'],
+        loss_dep_value=aux['loss_dep_value'],
+        loss_dep_domin=aux['loss_dep_domin'],
+        loss_dep_smooth=aux['loss_dep_smooth'],
+        bit_per_param=res.rate.bit_per_param, psnr=aux['psnr'],
+        n_visible_anchors=jnp.sum(visible),
+        tile_overflow=res.tile_overflow,
+        pair_overflow=res.pair_overflow,
+        packed_overflow=res.packed_overflow)
+    return model, opt_state, stats, metrics
+
+
+def make_train_scan(cfg: GSConfig, intr: Intrinsics, optimizer,
+                    bg: jnp.ndarray):
+    """Device-loop trainer: run ``n_steps`` SGD steps in ONE dispatch via
+    lax.scan, sampling the camera in-graph from stacked camera tensors.
+
+    TPU-idiomatic: per-step host dispatch costs ~ms through a serialized
+    runtime (and even async dispatch pays per-call overhead); a jitted
+    scan keeps the chip busy back-to-back, exactly like a jitted epoch
+    loop in any production TPU trainer. The scan body performs the same
+    (key, k_cam, k_step) splits and the same randint camera draw that
+    Trainer.run performs per step, so host-loop and device-loop training
+    see the SAME RNG/camera/step sequence; float rounding differs
+    slightly (the scan body fuses differently than the standalone step —
+    tolerances in tests/test_training.py quantify the drift).
+    """
+
+    @functools.partial(jax.jit,
+                       static_argnames=('phase', 'track_stats', 'n_steps'))
+    def train_scan(model: Model, opt_state, stats: DensifyStats,
+                   cams_stacked: CameraArrays, gt_images, gt_depths, key,
+                   *, phase: int, track_stats: bool, n_steps: int):
+        n_cams = gt_images.shape[0]
+
+        def body(carry, _):
+            model, opt_state, stats, key = carry
+            key, k_cam, k_step = jax.random.split(key, 3)
+            idx = jax.random.randint(k_cam, (), 0, n_cams)
+            cam = jax.tree.map(lambda x: x[idx], cams_stacked)
+            model, opt_state, stats, metrics = _step_core(
+                cfg, intr, optimizer, bg, model, opt_state, stats, cam,
+                gt_images[idx], gt_depths[idx], k_step, phase,
+                track_stats)
+            return (model, opt_state, stats, key), metrics
+
+        (model, opt_state, stats, key), metrics = jax.lax.scan(
+            body, (model, opt_state, stats, key), None, length=n_steps)
+        return model, opt_state, stats, key, metrics
+
+    return train_scan
 
 
 class Trainer:
@@ -216,13 +268,28 @@ class Trainer:
                 self.step = json.load(f)['step']
 
     def run(self, cameras, iterations: int | None = None,
-            log_every: int = 100, callback=None):
+            log_every: int = 100, callback=None,
+            device_loop: bool = False, max_chunk: int = 50):
         """cameras: list of (CameraArrays, gt_image, gt_depth) device arrays.
 
         Resumes from ``self.step + 1`` (0 for a fresh trainer, or the
-        restored step after ``restore()``)."""
+        restored step after ``restore()``).
+
+        ``device_loop=True`` runs chunks of steps inside ONE dispatch via
+        lax.scan (make_train_scan) with in-graph camera sampling — the
+        same step/camera/RNG sequence as the host loop (float rounding
+        aside), minus the per-step dispatch overhead. Chunks break at
+        every phase
+        transition, densification step, stat-tracking flip, and the
+        context-phase bounds update, so host-side surgery runs exactly
+        as in the host loop. Requires homogeneous image shapes (all
+        BloomScene frames share intrinsics).
+        """
         cfg = self.cfg
         iterations = iterations or cfg.iterations
+        if device_loop:
+            return self._run_device_loop(cameras, iterations, log_every,
+                                         callback, max_chunk)
         for it in range(self.step + 1, iterations + 1):
             self.step = it
             self.key, k_cam, k_step = jax.random.split(self.key, 3)
@@ -248,39 +315,115 @@ class Trainer:
                 info = None
 
             if it % log_every == 0 or it == iterations:
-                rec = {k: float(v) for k, v in metrics._asdict().items()}
-                rec['iteration'] = it
-                if (cfg.visible_capacity is not None
-                        and rec['n_visible_anchors']
-                        > cfg.visible_capacity):
-                    import warnings
-                    warnings.warn(
-                        f"step {it}: {int(rec['n_visible_anchors'])} "
-                        f"visible anchors exceed visible_capacity="
-                        f"{cfg.visible_capacity}; overflowing anchors are "
-                        "skipped this step — raise GSConfig."
-                        "visible_capacity for full coverage",
-                        RuntimeWarning, stacklevel=2)
-                if (rec['pair_overflow'] > 0 or rec['tile_overflow'] > 0
-                        or rec['packed_overflow'] > 0):
-                    # truncation is depth-aware (ops/tiles.py: farthest
-                    # splats dropped first) but still lossy — tell the user
-                    # to raise the capacities if it persists
-                    import warnings
-                    warnings.warn(
-                        f"rasterizer capacity overflow at step {it}: "
-                        f"pair_overflow={int(rec['pair_overflow'])} "
-                        f"tile_overflow={int(rec['tile_overflow'])} "
-                        f"packed_overflow={int(rec['packed_overflow'])} — "
-                        "farthest splats are being dropped; consider raising "
-                        "GSConfig.pair_capacity/max_splats_per_tile",
-                        RuntimeWarning, stacklevel=2)
-                if info:
-                    rec.update({f'densify_{k}': v for k, v in info.items()
-                                if not isinstance(v, bool)})
-                self.history.append(rec)
-                if self.logger is not None:
-                    self.logger.log(rec, step=it)
-                if callback:
-                    callback(rec)
+                self._emit_record(it, metrics._asdict(), info, callback)
+        return self.model
+
+    def _emit_record(self, it, metric_items, info, callback):
+        cfg = self.cfg
+        rec = {k: float(v) for k, v in metric_items.items()}
+        rec['iteration'] = it
+        if (cfg.visible_capacity is not None
+                and rec['n_visible_anchors'] > cfg.visible_capacity):
+            import warnings
+            warnings.warn(
+                f"step {it}: {int(rec['n_visible_anchors'])} "
+                f"visible anchors exceed visible_capacity="
+                f"{cfg.visible_capacity}; overflowing anchors are "
+                "skipped this step — raise GSConfig."
+                "visible_capacity for full coverage",
+                RuntimeWarning, stacklevel=2)
+        if (rec['pair_overflow'] > 0 or rec['tile_overflow'] > 0
+                or rec['packed_overflow'] > 0):
+            # truncation is depth-aware (ops/tiles.py: farthest splats
+            # dropped first) but still lossy — tell the user to raise the
+            # capacities if it persists
+            import warnings
+            warnings.warn(
+                f"rasterizer capacity overflow at step {it}: "
+                f"pair_overflow={int(rec['pair_overflow'])} "
+                f"tile_overflow={int(rec['tile_overflow'])} "
+                f"packed_overflow={int(rec['packed_overflow'])} — "
+                "farthest splats are being dropped; consider raising "
+                "GSConfig.pair_capacity/max_splats_per_tile",
+                RuntimeWarning, stacklevel=2)
+        if info:
+            rec.update({f'densify_{k}': v for k, v in info.items()
+                        if not isinstance(v, bool)})
+        self.history.append(rec)
+        if self.logger is not None:
+            self.logger.log(rec, step=it)
+        if callback:
+            callback(rec)
+
+    def _chunk_end(self, it: int, iterations: int, max_chunk: int) -> int:
+        """Largest end step e >= it such that steps [it, e] share phase and
+        track_stats, no bounds-update start falls strictly inside, and any
+        densification step lands exactly at e."""
+        cfg = self.cfg
+        e = min(iterations, it + max_chunk - 1)
+        # phase changes AFTER noise_from_step / context_from_step
+        for b in (cfg.noise_from_step, cfg.context_from_step):
+            if it <= b:
+                e = min(e, b)
+        # the bounds refresh must run right before step context_from_step
+        if it < cfg.context_from_step:
+            e = min(e, cfg.context_from_step - 1)
+        # track_stats flips after start_stat and at update_until
+        if it <= cfg.start_stat:
+            e = min(e, cfg.start_stat)
+        elif it < cfg.update_until:
+            e = min(e, cfg.update_until - 1)
+        # densification (host surgery) may trigger at any multiple of
+        # update_interval — make that a chunk end
+        nxt = -(-it // cfg.update_interval) * cfg.update_interval
+        if nxt <= e:
+            e = nxt
+        return e
+
+    def _run_device_loop(self, cameras, iterations, log_every, callback,
+                         max_chunk):
+        cfg = self.cfg
+        if not hasattr(self, '_scan_fn'):
+            self._scan_fn = make_train_scan(cfg, self.intr, self.optimizer,
+                                            self.bg)
+        cams_stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[c for c, _, _ in cameras])
+        gt_images = jnp.stack([g for _, g, _ in cameras])
+        gt_depths = jnp.stack([d for _, _, d in cameras])
+        it = self.step + 1
+        while it <= iterations:
+            phase = phase_of_step(it, cfg)
+            if it == cfg.context_from_step:
+                self.model = self.model._replace(
+                    bounds=update_anchor_bounds(self.model.state))
+            track = cfg.start_stat < it < cfg.update_until
+            e = self._chunk_end(it, iterations, max_chunk)
+            n_steps = e - it + 1
+            (self.model, self.opt_state, self.stats, self.key,
+             metrics) = self._scan_fn(
+                self.model, self.opt_state, self.stats, cams_stacked,
+                gt_images, gt_depths, self.key, phase=phase,
+                track_stats=track, n_steps=n_steps)
+            self.step = e
+
+            in_pause = cfg.densify_pause_from <= e < cfg.densify_pause_until
+            if (track and not in_pause and e > cfg.update_from
+                    and e % cfg.update_interval == 0):
+                self.model, self.stats, self.opt_state, info = \
+                    densify.adjust_anchor(self.model, self.stats,
+                                          self.opt_state, cfg,
+                                          self.voxel_size, self.np_rng)
+            else:
+                info = None
+
+            log_its = [s for s in range(it, e + 1)
+                       if s % log_every == 0 or s == iterations]
+            if log_its:
+                m_host = jax.tree.map(np.asarray, metrics)
+                for s in log_its:
+                    row = {k: v[s - it] for k, v in
+                           m_host._asdict().items()}
+                    self._emit_record(s, row, info if s == e else None,
+                                      callback)
+            it = e + 1
         return self.model

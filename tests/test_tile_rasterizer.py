@@ -287,3 +287,25 @@ def test_grad_index_invariants(rng):
             if p < npk:
                 assert gauss_sorted[p] == g
                 assert tile_sorted[p] < num_tiles
+
+
+def test_opacity_rects_subset_of_reference_rects(rng):
+    """The opacity-aware ellipse rect is always contained in the reference
+    3-sigma square, and only ever drops pairs the per-pixel 1/255 test
+    ignores (rendered output already covered by the cull parity test)."""
+    from bloomscene_tpu.ops.tiles import compute_tile_rects
+    means, scales, quats, colors, opac = random_scene(rng, 200)
+    proj = project(means, scales, quats)
+    x0r, y0r, x1r, y1r, t_ref = compute_tile_rects(proj, W, H, TILE)
+    x0e, y0e, x1e, y1e, t_ell = compute_tile_rects(
+        proj, W, H, TILE, opacities=jnp.where(proj.valid, opac, 0.0))
+    assert (np.asarray(x0e) >= np.asarray(x0r)).all()
+    assert (np.asarray(y0e) >= np.asarray(y0r)).all()
+    assert (np.asarray(x1e) <= np.asarray(x1r)).all()
+    assert (np.asarray(y1e) <= np.asarray(y1r)).all()
+    assert (np.asarray(t_ell) <= np.asarray(t_ref)).all()
+    # near-transparent splats emit no pairs at all
+    lo = jnp.full_like(opac, 1.0 / 300.0)
+    *_, t_lo = compute_tile_rects(proj, W, H, TILE,
+                                  opacities=jnp.where(proj.valid, lo, 0.0))
+    assert int(jnp.sum(t_lo)) == 0

@@ -148,3 +148,61 @@ def test_adjust_anchor_grow_and_prune():
     assert float(jnp.sum(stats2.anchor_demon)) <= float(jnp.sum(stats.anchor_demon))
     # cov log-scales clamped at 0.05
     assert float(jnp.max(m2.state.scaling_log[:, 3:])) <= 0.05 + 1e-6
+
+
+def test_device_loop_matches_host_loop_short():
+    """device_loop=True runs the SAME step/camera/RNG sequence as the host
+    loop; float rounding differs slightly (the scan body fuses
+    differently), and Adam's eps=1e-15 amplifies it — so compare a short
+    horizon with tolerances calibrated to that drift (measured rel ~7e-4
+    after 4 steps)."""
+    cfg = small_cfg(iterations=4, start_stat=10 ** 9, update_from=10 ** 9)
+    pts = synthetic_scene(250, seed=3)
+    cam, views = target_views()
+    views = views + views  # >1 camera so the in-graph draw matters
+
+    model, vs = init_model(jax.random.PRNGKey(2), pts, cfg)
+    tr_a = Trainer(model, cfg, cam.intrinsics, vs, seed=11)
+    m_a = tr_a.run(views, log_every=1)
+
+    model_b, _ = init_model(jax.random.PRNGKey(2), pts, cfg)
+    tr_b = Trainer(model_b, cfg, cam.intrinsics, vs, seed=11)
+    m_b = tr_b.run(views, log_every=1, device_loop=True, max_chunk=4)
+
+    for la, lb in zip(jax.tree.leaves(m_a), jax.tree.leaves(m_b)):
+        a, b = np.asarray(la), np.asarray(lb)
+        if a.dtype.kind == 'f':
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
+    assert [r['iteration'] for r in tr_a.history] == \
+        [r['iteration'] for r in tr_b.history]
+    for ra, rb in zip(tr_a.history, tr_b.history):
+        np.testing.assert_allclose(ra['loss'], rb['loss'], rtol=1e-4)
+
+
+def test_device_loop_chunking_events():
+    """Chunk boundaries reproduce the host loop's DISCRETE events across
+    phase transitions, stat-tracking flips and densification steps: same
+    logged iterations, same anchor capacity trajectory, training still
+    converges. (Float drift makes long-horizon leaf equality meaningless
+    — see the short test above.) Region boundaries sit on max_chunk
+    multiples so the scan compiles ONE n_steps shape."""
+    cfg = small_cfg(iterations=24, start_stat=4, update_from=4,
+                    update_interval=8, update_until=21,
+                    noise_from_step=8, context_from_step=17)
+    pts = synthetic_scene(250, seed=3)
+    cam, views = target_views()
+    views = views + views
+
+    caps = {}
+    for name, dev in (('host', False), ('scan', True)):
+        model, vs = init_model(jax.random.PRNGKey(2), pts, cfg)
+        tr = Trainer(model, cfg, cam.intrinsics, vs, seed=11)
+        m = tr.run(views, log_every=4, device_loop=dev, max_chunk=4)
+        caps[name] = (m.state.capacity,
+                      [r['iteration'] for r in tr.history],
+                      [r['loss'] for r in tr.history])
+    assert caps['host'][0] == caps['scan'][0]      # densify grew identically
+    assert caps['host'][1] == caps['scan'][1]      # same logged steps
+    np.testing.assert_allclose(caps['host'][2], caps['scan'][2],
+                               rtol=0.05)          # same training trajectory
+    assert caps['scan'][2][-1] < caps['scan'][2][0]
