@@ -140,6 +140,12 @@ class GSConfig:
     # recompute for the per-child activation memory — required to fit
     # full-scale scenes in 16G HBM)
     remat: bool = True
+    # run training in device-loop chunks (Trainer.run(device_loop=True)):
+    # lax.scan over up to device_loop_chunk steps per dispatch with
+    # in-graph camera sampling — hides per-step host dispatch latency.
+    # Same step/RNG/event sequence as the host loop (see train/loop.py).
+    device_loop: bool = False
+    device_loop_chunk: int = 50
 
     # --- quantization step bases (gaussian_renderer/__init__.py:52-54) ---
     q_base_feat: float = 0.25

@@ -186,7 +186,9 @@ class BloomScene:
                           'densify_n_alive')}, flush=True)
         self.model = self.trainer.run(views, iterations=iterations,
                                       log_every=log_every,
-                                      callback=callback)
+                                      callback=callback,
+                                      device_loop=self.cfg.device_loop,
+                                      max_chunk=self.cfg.device_loop_chunk)
         self.logs = self.trainer.history
         return self.model
 

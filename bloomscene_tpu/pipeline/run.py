@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--log2_2D', type=int, default=15)
     p.add_argument('--lambdae', type=float, default=0.002)
     # TPU-build extras
+    p.add_argument('--device_loop', action='store_true',
+                   help='train in device-loop chunks (lax.scan over steps '
+                        'per dispatch — hides host dispatch latency on TPU)')
+    p.add_argument('--device_loop_chunk', type=int, default=50)
     p.add_argument('--iterations', type=int, default=None,
                    help='override training iterations (default: config)')
     p.add_argument('--priors', type=str, default='stub',
@@ -134,7 +138,9 @@ def main(argv=None):
         lambda_entropy=args.lambdae,
         n_features_per_level=args.n_features,
         log2_hashmap_size_3d=args.log2,
-        log2_hashmap_size_2d=args.log2_2D)
+        log2_hashmap_size_2d=args.log2_2D,
+        device_loop=args.device_loop,
+        device_loop_chunk=args.device_loop_chunk)
     cam = CameraConfig(H=args.resolution, W=args.resolution,
                        focal=(582.69 * args.resolution / 512,) * 2)
 
