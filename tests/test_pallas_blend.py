@@ -78,3 +78,40 @@ def test_pallas_backward_matches_xla(rng):
     for nm, a, b in zip(names, gx, gp):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6,
                                    rtol=2e-4, err_msg=f"grad {nm}")
+
+
+def test_backward_scatter_fallback_matches_gather_path(rng):
+    """tile_blend_pallas without the binning grad-index (stable-sort
+    branch) reduces gradients via the window-scatter + segment-sum
+    fallback — must agree with the emission-order gather path."""
+    from bloomscene_tpu.ops import tiles as tiles_lib
+    from bloomscene_tpu.ops.pallas.wrapper import tile_blend_pallas
+
+    p, colors, opac = make_scene(rng, n=80)
+    opac_eff = jnp.where(p.valid, opac, 0.0)
+    bins = tiles_lib.bin_splats(
+        p, W, H, TILE, pair_capacity=4096, tile_capacity=128,
+        opacities=opac_eff, grad_index=True, need_entries=False)
+    gx = gy = W // TILE
+    tgt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+
+    def loss(args, use_index):
+        mean2d, conic, colors, opac = args
+        extra = ((bins.p_of_e, bins.starts_by_id, bins.ends_by_id,
+                  bins.num_packed) if use_index
+                 else (None, None, None, None))
+        out = tile_blend_pallas(
+            TILE, gx, gy, W, H, 128, mean2d, conic, p.depth, colors,
+            jnp.where(p.valid, opac, 0.0), jnp.zeros(3),
+            bins.gauss_sorted, bins.tile_sorted, bins.t_start,
+            bins.counts, *extra)
+        return jnp.mean((out.color - tgt) ** 2) + 0.1 * jnp.mean(out.depth)
+
+    args = (p.mean2d, p.conic, colors, opac)
+    g_gather = jax.grad(lambda a: loss(a, True))(args)
+    g_scatter = jax.grad(lambda a: loss(a, False))(args)
+    for name, a, b in zip(('mean2d', 'conic', 'colors', 'opac'),
+                          g_gather, g_scatter):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg=f"grad {name}")
