@@ -19,10 +19,27 @@ Mosaic miscompile would pass CI, so this catches it on the real chip).
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+
+def _arm_watchdog(seconds: int = 1200):
+    """The axon TPU relay can die outright (clients then sleep forever in
+    a reconnect loop). Emit a diagnostic JSON line instead of hanging
+    past the driver's patience."""
+    def on_alarm(signum, frame):
+        print(json.dumps({
+            "metric": "rasterize_fwd_bwd_mpix_per_s_per_chip_100k_splats_512px",
+            "value": 0.0, "unit": "Mpixels/s/chip", "vs_baseline": 0.0,
+            "error": f"watchdog: no result after {seconds}s "
+                     "(TPU relay unavailable?)"}), flush=True)
+        os._exit(2)
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
 
 BASELINE_MPIX_S = 40.0
 N_SPLATS = 100_000
@@ -210,6 +227,7 @@ def verify(n: int = 20_000, res: int = 256):
 
 
 if __name__ == "__main__":
+    _arm_watchdog()
     if "--verify" in sys.argv:
         sys.exit(verify())
     sys.exit(main())
