@@ -159,9 +159,13 @@ def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
         base = i * U
         pre = []
         for u in range(U):
-            row = data_ref[base + u]            # [DATA_W, GT]
+            j = base + u
+            # clamp: the last unrolled block may reach past cc when
+            # cc % U != 0 (n_blocks rounds up); the (j < cc) term masks
+            # the duplicate row out of the blend
+            row = data_ref[jnp.minimum(j, cc - 1)]      # [DATA_W, GT]
             (mx, my, ca, cb, ccn, op, de, cr, cg, cbl) = _split_row(row)
-            vld = (c * cc + base + u) < cnt     # entry lists front-packed
+            vld = ((c * cc + j) < cnt) & (j < cc)  # entry lists front-packed
             dx = mx - px
             dy = my - py
             power = -0.5 * (ca * dx * dx + ccn * dy * dy) - cb * dx * dy
@@ -297,9 +301,13 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
         pre = []
         for u in range(U):
             j = jbase + u
-            row = data_ref[j]
+            # clamp as in the forward kernel: the top unrolled block may
+            # reach past cc when cc % U != 0; masked rows produce all-zero
+            # grads and (iterating u DESCENDING below) their clamped
+            # grad_ref[cc-1] writes land before the real row's write
+            row = data_ref[jnp.minimum(j, cc - 1)]
             (mx, my, ca, cb, ccn, op, de, cr, cg, cbl) = _split_row(row)
-            vld = (chunk * cc + j) < cnt
+            vld = ((chunk * cc + j) < cnt) & (j < cc)
             dx = mx - px
             dy = my - py
             power = -0.5 * (ca * dx * dx + ccn * dy * dy) - cb * dx * dy
@@ -342,6 +350,7 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
             unclamped = oG < ALPHA_MAX
             dG = jnp.where(unclamped, op, 0.0) * dL_da
 
+            jc = jnp.minimum(j, cc - 1)
             out = jnp.concatenate([
                 red(dG * (-gdx * ca - gdy * cb)),           # d mx
                 red(dG * (-gdy * ccn - gdx * cb)),          # d my
@@ -355,7 +364,7 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
                 red(w * ub),                                # d b
                 jnp.zeros((GRAD_W - 10, gt), jnp.float32),
             ], axis=0)                                      # [GRAD_W, GT]
-            grad_ref[j] = out
+            grad_ref[jc] = out
 
             la = jnp.where(blended, alpha, la)
             lr = jnp.where(blended, cr + 0 * lr, lr)

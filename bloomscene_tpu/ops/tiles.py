@@ -51,7 +51,7 @@ class TileBins(NamedTuple):
     counts: jnp.ndarray         # [num_tiles] int32 clamped to tile_capacity
     num_packed: jnp.ndarray     # [] int32 pairs surviving the zero-alpha cull
     packed_overflow: jnp.ndarray  # [] int32 survivors dropped by packed_capacity
-    # gradient-reduction index (grad_index=True, unique-key branch only):
+    # gradient-reduction index (grad_index=True):
     # emission ("rank-major") order makes each Gaussian's pairs CONTIGUOUS,
     # so per-Gaussian gradient sums become cumsum + boundary-diff — all
     # vectorized lane ops, replacing the serial scatter-add segment-sum.
@@ -162,6 +162,15 @@ def compute_tile_rects(proj: ProjectedSplats, W: int, H: int, tile: int,
     r = proj.radius.astype(jnp.float32)
     x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
     live = proj.valid
+    # (int) cast in CUDA truncates toward zero, but values are clamped to
+    # [0, grid] afterwards, so floor vs trunc only differs for negatives that
+    # clamp to 0 anyway.
+    x0 = jnp.clip(jnp.floor((x - r) / tile), 0, gx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((y - r) / tile), 0, gy).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((x + r + tile - 1) / tile), 0,
+                  gx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((y + r + tile - 1) / tile), 0,
+                  gy).astype(jnp.int32)
     if opacities is not None:
         ca, cb, cc = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
         det = jnp.maximum(ca * cc - cb * cb, 1e-24)
@@ -170,21 +179,27 @@ def compute_tile_rects(proj: ProjectedSplats, W: int, H: int, tile: int,
         # margin family as the bin_splats cull).
         qmax = jnp.log(jnp.maximum(255.0 * opacities, 1e-12)) + 1e-3
         s2 = 2.0 * jnp.maximum(qmax, 0.0) / det
-        rx = jnp.minimum(r, jnp.sqrt(s2 * cc) + 1e-2)
-        ry = jnp.minimum(r, jnp.sqrt(s2 * ca) + 1e-2)
+        rx = jnp.sqrt(s2 * cc) + 1e-2
+        ry = jnp.sqrt(s2 * ca) + 1e-2
+        # INCLUSIVE-tile bounds for the float extents: the CUDA-form
+        # "+ tile - 1" trick drops the tile of a boundary pixel that
+        # lands exactly on a tile edge — harmless with the reference's
+        # ceil'd integer radius, but a float ellipse extent hits that
+        # boundary systematically. floor((x + rx)/tile) + 1 keeps every
+        # pixel within the extent; intersecting with the reference rect
+        # keeps the pair set a subset of the reference's.
+        x0 = jnp.maximum(x0, jnp.clip(jnp.floor((x - rx) / tile), 0,
+                                      gx).astype(jnp.int32))
+        y0 = jnp.maximum(y0, jnp.clip(jnp.floor((y - ry) / tile), 0,
+                                      gy).astype(jnp.int32))
+        x1 = jnp.minimum(x1, jnp.clip(jnp.floor((x + rx) / tile) + 1, 0,
+                                      gx).astype(jnp.int32))
+        y1 = jnp.minimum(y1, jnp.clip(jnp.floor((y + ry) / tile) + 1, 0,
+                                      gy).astype(jnp.int32))
         live = live & (qmax > 0)
-    else:
-        rx = ry = r
-    # (int) cast in CUDA truncates toward zero, but values are clamped to
-    # [0, grid] afterwards, so floor vs trunc only differs for negatives that
-    # clamp to 0 anyway.
-    x0 = jnp.clip(jnp.floor((x - rx) / tile), 0, gx).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((y - ry) / tile), 0, gy).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((x + rx + tile - 1) / tile), 0,
-                  gx).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((y + ry + tile - 1) / tile), 0,
-                  gy).astype(jnp.int32)
-    touched = jnp.where(live, (x1 - x0) * (y1 - y0), 0)
+    touched = jnp.where(live,
+                        jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0),
+                        0)
     return x0, y0, x1, y1, touched
 
 
@@ -230,7 +245,8 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
             counts=jnp.zeros((num_tiles,), jnp.int32),
             num_packed=jnp.int32(0), packed_overflow=jnp.int32(0))
 
-    x0, y0, x1, _y1, touched = compute_tile_rects(proj, W, H, tile)
+    x0, y0, x1, _y1, touched = compute_tile_rects(proj, W, H, tile,
+                                                  opacities=opacities)
 
     # depth pre-sort carrying the rect data as SORT PAYLOADS: moving
     # payload columns through lax.sort costs less than the random [n, 4]
@@ -373,17 +389,7 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         keyi = (tile_id << kbits) | k
         key_s, gauss_s = lax.sort((keyi, gauss_o), num_keys=1,
                                   is_stable=False)
-        if grad_index:
-            # invert the tile sort: the emission slot rides in the key's
-            # low bits, so one 2-operand int sort by it recovers, for
-            # every emission slot, its position in the tile-sorted list.
-            eslot = key_s & ((1 << kbits) - 1)
-            _, p_of_e = lax.sort((eslot, k), num_keys=1, is_stable=False)
-            # per-ORIGINAL-ID emission ranges: rank r owns emission slots
-            # [starts[r], offsets[r]); one 3-payload sort by the id
-            # permutation re-keys both range arrays from rank to id order.
-            _, starts_by_id, ends_by_id = lax.sort(
-                (order, starts, offsets), num_keys=1, is_stable=False)
+        eslot_s = key_s & ((1 << kbits) - 1)
         key_s = key_s[:packed_capacity]
         gauss_s = gauss_s[:packed_capacity]
         tile_s = (key_s >> kbits).astype(jnp.int32)
@@ -394,16 +400,32 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         t_end = jnp.searchsorted(key_s, (tids + 1) << kbits,
                                  side='left').astype(jnp.int32)
     else:
-        tile_s, gauss_s = lax.sort((tile_id, gauss_o), num_keys=1,
-                                   is_stable=True)
-        tile_s = tile_s[:packed_capacity]
-        gauss_s = gauss_s[:packed_capacity]
+        # (tile, emission slot) does not fit one 31-bit key (e.g. 1024
+        # tiles x pair_capacity 2^21 at 512^2 with ~1M children): sort
+        # LEXICOGRAPHICALLY on two unique int keys — the exact same
+        # deterministic order as the packed key, at any size, and the
+        # emission slot column keeps grad_index available.
+        tile_sf, eslot_s, gauss_sf = lax.sort((tile_id, k, gauss_o),
+                                              num_keys=2, is_stable=False)
+        tile_s = tile_sf[:packed_capacity]
+        gauss_s = gauss_sf[:packed_capacity]
         # tile ranges: 1K binary searches over the sorted pair list
         # (cheap; the scatter-min formulation serializes on collisions)
         t_start = jnp.searchsorted(tile_s, tids,
                                    side='left').astype(jnp.int32)
         t_end = jnp.searchsorted(tile_s, tids,
                                  side='right').astype(jnp.int32)
+    if grad_index:
+        # invert the tile sort: the emission slot per sorted position is
+        # in hand (key low bits / second sort column), so one 2-operand
+        # int sort by it recovers, for every emission slot, its position
+        # in the tile-sorted list.
+        _, p_of_e = lax.sort((eslot_s, k), num_keys=1, is_stable=False)
+        # per-ORIGINAL-ID emission ranges: rank r owns emission slots
+        # [starts[r], offsets[r]); one 3-payload sort by the id
+        # permutation re-keys both range arrays from rank to id order.
+        _, starts_by_id, ends_by_id = lax.sort(
+            (order, starts, offsets), num_keys=1, is_stable=False)
 
     # fixed-capacity per-tile lists: tile ranges are CONTIGUOUS in the
     # sorted pair list, so use vmapped dynamic slices (a 1M-element random

@@ -90,9 +90,18 @@ def main(argv=None):
 
     preset_json = None
     if args.campath_render.endswith('.json'):
+        if not os.path.exists(args.campath_render):
+            raise SystemExit(f"--campath_render json not found: "
+                             f"{args.campath_render}")
         name = os.path.splitext(os.path.basename(args.campath_render))[0]
         preset_json = {name: args.campath_render}
         args.campath_render = name
+    elif args.campath_render != 'rotate360':
+        # fail NOW, not after hours of generation+training (preset lookup
+        # happens post-training)
+        raise SystemExit(
+            f"unknown --campath_render {args.campath_render!r}: expected "
+            "'rotate360' or a path to a camera-path .json")
 
     if args.load_dir:
         txt = args.text

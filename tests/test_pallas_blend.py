@@ -115,3 +115,30 @@ def test_backward_scatter_fallback_matches_gather_path(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4,
                                    err_msg=f"grad {name}")
+
+
+def test_odd_cap_chunk_unroll_clamp(rng):
+    """tile_capacity=18 gives a cap chunk cc=18 (not a multiple of the x4
+    unroll): the kernels' clamped top block must not read/write out of
+    the VMEM block or corrupt the last row's gradients."""
+    p, colors, opac = make_scene(rng, n=60)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    tgt_c = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+
+    def loss(backend, args):
+        mean2d, colors, opac = args
+        pp = p._replace(mean2d=mean2d)
+        out, _ = rasterize_tiles(pp, colors, opac, bg, W, H, tile=TILE,
+                                 tile_capacity=18, backend=backend)
+        return jnp.mean((out.color - tgt_c) ** 2)
+
+    args = (p.mean2d, colors, opac)
+    lx = loss('xla', args)
+    lp = loss('pallas', args)
+    np.testing.assert_allclose(float(lx), float(lp), rtol=1e-5)
+    gx = jax.grad(lambda a: loss('xla', a))(args)
+    gp = jax.grad(lambda a: loss('pallas', a))(args)
+    for nm, a, b in zip(('mean2d', 'colors', 'opac'), gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-6, rtol=2e-4,
+                                   err_msg=f"grad {nm}")

@@ -309,3 +309,45 @@ def test_opacity_rects_subset_of_reference_rects(rng):
     *_, t_lo = compute_tile_rects(proj, W, H, TILE,
                                   opacities=jnp.where(proj.valid, lo, 0.0))
     assert int(jnp.sum(t_lo)) == 0
+
+
+def test_two_key_sort_branch_matches_packed_branch(rng):
+    """When (tile << kbits | slot) does not fit 31 bits (which the
+    flagship 512^2 config hits at pair_capacity 2^21), binning falls back
+    to a 2-key lexicographic sort — it must produce the identical
+    deterministic binning AND a working grad-index. On a 64x64-tile grid,
+    pair_capacity 2^18+8 (kbits 19, 4097 > 2^12) takes the 2-key branch
+    while 8192 (kbits 13) takes the packed branch."""
+    means, scales, quats, colors, opac = random_scene(rng, 120)
+    proj = project(means, scales, quats)
+    op = jnp.where(proj.valid, opac, 0.0)
+    W2 = H2 = 1024
+    kw = dict(tile_capacity=64, opacities=op, grad_index=True,
+              packed_capacity=4096)
+    small = bin_splats(proj, W2, H2, TILE, pair_capacity=8192, **kw)
+    big = bin_splats(proj, W2, H2, TILE, pair_capacity=(1 << 18) + 8, **kw)
+    assert int(small.num_pairs) == int(big.num_pairs)
+    assert int(small.num_packed) == int(big.num_packed)
+    np.testing.assert_array_equal(np.asarray(small.t_start),
+                                  np.asarray(big.t_start))
+    np.testing.assert_array_equal(np.asarray(small.counts),
+                                  np.asarray(big.counts))
+    np.testing.assert_array_equal(np.asarray(small.gauss_sorted),
+                                  np.asarray(big.gauss_sorted))
+    np.testing.assert_array_equal(np.asarray(small.tile_sorted),
+                                  np.asarray(big.tile_sorted))
+    # grad-index invariants hold on the 2-key branch too
+    assert big.p_of_e is not None
+    npk = int(big.num_packed)
+    p_of_e = np.asarray(big.p_of_e)
+    gs = np.asarray(big.gauss_sorted)
+    s = np.asarray(big.starts_by_id)
+    e = np.asarray(big.ends_by_id)
+    checked = 0
+    for g in rng.integers(0, 120, 30):
+        for eslot in range(s[g], e[g]):
+            p = p_of_e[eslot]
+            if p < npk:
+                assert gs[p] == g
+                checked += 1
+    assert checked > 0
