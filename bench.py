@@ -27,16 +27,22 @@ import time
 import numpy as np
 
 
-def _arm_watchdog(seconds: int = 1200):
+def _arm_watchdog(seconds: int = 1200, mode: str = "bench"):
     """The axon TPU relay can die outright (clients then sleep forever in
     a reconnect loop). Emit a diagnostic JSON line instead of hanging
     past the driver's patience."""
     def on_alarm(signum, frame):
-        print(json.dumps({
-            "metric": "rasterize_fwd_bwd_mpix_per_s_per_chip_100k_splats_512px",
-            "value": 0.0, "unit": "Mpixels/s/chip", "vs_baseline": 0.0,
-            "error": f"watchdog: no result after {seconds}s "
-                     "(TPU relay unavailable?)"}), flush=True)
+        err = (f"watchdog: no result after {seconds}s "
+               "(TPU relay unavailable?)")
+        if mode == "bench":
+            print(json.dumps({
+                "metric":
+                    "rasterize_fwd_bwd_mpix_per_s_per_chip_100k_splats_512px",
+                "value": 0.0, "unit": "Mpixels/s/chip", "vs_baseline": 0.0,
+                "error": err}), flush=True)
+        else:
+            print(json.dumps({"mode": "verify_pallas_vs_xla_on_device",
+                              "ok": False, "error": err}), flush=True)
         os._exit(2)
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(seconds)
@@ -227,7 +233,8 @@ def verify(n: int = 20_000, res: int = 256):
 
 
 if __name__ == "__main__":
-    _arm_watchdog()
     if "--verify" in sys.argv:
+        _arm_watchdog(mode="verify")
         sys.exit(verify())
+    _arm_watchdog(mode="bench")
     sys.exit(main())

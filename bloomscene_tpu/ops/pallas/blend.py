@@ -287,12 +287,12 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
     n_here = jnp.clip(gmax_ref[g] - chunk * cc, 0, cc)
     cnt = counts_ref[0:1, :]
 
-    # UNROLL x2 back-to-front: blocks walk from the top; within a block the
-    # heavy per-splat work (power/exp/gdx) is hoisted into a parallel
-    # section, the serial T/accum recurrence stays per-splat. Rows in
-    # [n_here, ceil-padded top) fail the blended test and write zeros.
-    # (x2, not x4: the live per-u temporaries of this kernel hit the
-    # ~16 MB VMEM scoped limit at x4.)
+    # UNROLL x{BWD_UNROLL} back-to-front: blocks walk from the top; within
+    # a block the heavy per-splat work (power/exp/gdx) is hoisted into a
+    # parallel section, the serial T/accum recurrence stays per-splat.
+    # Rows in [n_here, ceil-padded top) fail the blended test and write
+    # zeros. The unroll factor is VMEM-bound: see BWD_UNROLL/BWD_CAP_CHUNK
+    # at the top of this file for the current budget.
     U = BWD_UNROLL
     n_blocks = (n_here + U - 1) // U
 

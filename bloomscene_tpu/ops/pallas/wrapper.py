@@ -33,13 +33,6 @@ def _pt_to_image(x, gx, gy, tile, W, H):
     return img[:H, :W]
 
 
-def _image_to_pt(x, gx, gy, tile):
-    H, W = x.shape
-    xp = jnp.pad(x, ((0, gy * tile - H), (0, gx * tile - W)))
-    xp = xp.reshape(gy, tile, gx, tile)          # (ty, ly, tx, lx)
-    return jnp.transpose(xp, (1, 3, 0, 2)).reshape(tile * tile, gy * gx)
-
-
 def _occupancy_perm(counts):
     """perm: position -> tile id, descending count; pos: tile id -> position."""
     T = counts.shape[0]

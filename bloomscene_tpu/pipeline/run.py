@@ -108,11 +108,13 @@ def main(argv=None):
         if txt.endswith('.txt') and os.path.exists(txt):
             txt = open(txt).readline().strip()
         bs = BloomScene.load(args.load_dir, preset_json=preset_json)
-        if args.render_frames < 180 and bs.scene is not None:
+        if bs.scene is not None:
             pk = args.campath_render
-            stride = max(1, 180 // args.render_frames)
-            bs.scene = bs.scene._replace(preset_cameras={
-                pk: bs.scene.preset_cameras[pk][::stride]})
+            n_frames = len(bs.scene.preset_cameras[pk])
+            if args.render_frames < n_frames:
+                stride = max(1, n_frames // args.render_frames)
+                bs.scene = bs.scene._replace(preset_cameras={
+                    pk: bs.scene.preset_cameras[pk][::stride]})
         print('video:', bs.render_video(
             args.campath_render, use_decoded=bs.decoded_model is not None))
         print('eval:', bs.render_eval(txt))

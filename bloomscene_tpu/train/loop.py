@@ -332,8 +332,7 @@ class Trainer:
                 "skipped this step — raise GSConfig."
                 "visible_capacity for full coverage",
                 RuntimeWarning, stacklevel=2)
-        if (rec['pair_overflow'] > 0 or rec['tile_overflow'] > 0
-                or rec['packed_overflow'] > 0):
+        if rec['pair_overflow'] > 0 or rec['tile_overflow'] > 0:
             # truncation is depth-aware (ops/tiles.py: farthest splats
             # dropped first) but still lossy — tell the user to raise the
             # capacities if it persists
@@ -341,10 +340,21 @@ class Trainer:
             warnings.warn(
                 f"rasterizer capacity overflow at step {it}: "
                 f"pair_overflow={int(rec['pair_overflow'])} "
-                f"tile_overflow={int(rec['tile_overflow'])} "
-                f"packed_overflow={int(rec['packed_overflow'])} — "
+                f"tile_overflow={int(rec['tile_overflow'])} — "
                 "farthest splats are being dropped; consider raising "
                 "GSConfig.pair_capacity/max_splats_per_tile",
+                RuntimeWarning, stacklevel=2)
+        if rec['packed_overflow'] > 0:
+            # packed truncation is NOT depth-aware (highest tile ids drop
+            # first) and is governed by the packed_capacity argument, not
+            # the knobs above — only snug (bench-style) sizing sets it
+            import warnings
+            warnings.warn(
+                f"step {it}: packed pair buffer overflow "
+                f"({int(rec['packed_overflow'])} surviving pairs dropped, "
+                "highest tile ids first) — raise the packed_capacity "
+                "passed to rasterize_tiles (defaults to pair_capacity, "
+                "which never overflows this buffer)",
                 RuntimeWarning, stacklevel=2)
         if info:
             rec.update({f'densify_{k}': v for k, v in info.items()
