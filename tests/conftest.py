@@ -25,6 +25,14 @@ def pytest_configure(config):
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    # persistent compilation cache: the suite is compile-dominated
+    # (~30 min cold); repeat runs hit the cache. Keyed on HLO, so code
+    # changes invalidate exactly the affected entries.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))), ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     env["PYTHONPATH"] = ":".join(
         p for p in env.get("PYTHONPATH", "").split(":")
         if p and ".axon_site" not in p)
