@@ -25,14 +25,6 @@ from ..reference_rasterizer import ACC_GATE, ACC_SEED, RenderOutput
 from . import blend as pb
 
 
-def _pt_to_image(x, gx, gy, tile, W, H):
-    """[P, T] -> [H, W]. pixel sublane p = ly*tile+lx; tile lane t."""
-    P, T = x.shape
-    img = x.reshape(tile, tile, gy, gx)          # (ly, lx, ty, tx)
-    img = jnp.transpose(img, (2, 0, 3, 1)).reshape(gy * tile, gx * tile)
-    return img[:H, :W]
-
-
 def _occupancy_perm(counts):
     """perm: position -> tile id, descending count; pos: tile id -> position."""
     T = counts.shape[0]
@@ -60,14 +52,18 @@ def _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac,
                                      gauss_sorted, t_start[perm], cap)
     r, g, b, D, acc, Tf, ncon = pb.blend_forward_pallas(
         data, counts_p, tile, gx, gy, tid=perm)
-    # outputs are in position space; column for tile t is pos[t]
-    to_img = lambda x: _pt_to_image(x[:, pos], gx, gy, tile, W, H)
-    color_img = jnp.stack([to_img(r), to_img(g), to_img(b)], -1) \
-        + to_img(Tf)[..., None] * bg
-    acc_img = to_img(acc)
-    depth_img = jnp.where(acc_img > ACC_GATE, to_img(D) / acc_img, 0.0)
+    # outputs are in position space; column for tile t is pos[t].
+    # Batched: ONE lane-permutation gather + ONE tiling transpose for all
+    # six planes (mirrors the batched cotangent transform in _bwd).
+    planes = jnp.stack([r, g, b, D, acc, Tf], 0)[:, :, pos]  # [6, P, T]
+    img = planes.reshape(6, tile, tile, gy, gx)
+    img = jnp.transpose(img, (0, 3, 1, 4, 2)).reshape(
+        6, gy * tile, gx * tile)[:, :H, :W]
+    acc_img = img[4]
+    color_img = jnp.moveaxis(img[0:3], 0, -1) + img[5][..., None] * bg
+    depth_img = jnp.where(acc_img > ACC_GATE, img[3] / acc_img, 0.0)
     out = RenderOutput(color=color_img, depth=depth_img,
-                       alpha=acc_img - ACC_SEED, final_T=to_img(Tf))
+                       alpha=acc_img - ACC_SEED, final_T=img[5])
     return out, (data, counts_p, perm, pos, Tf, acc, D, ncon)
 
 
