@@ -141,10 +141,10 @@ def _py_decode(data: bytes, cdf_q: np.ndarray, n: int) -> np.ndarray:
 
 # ---------------- public API ----------------
 
-def encode_with_cdf(symbols: np.ndarray, cdf_float: np.ndarray) -> bytes:
-    """symbols int [N], cdf_float [N, K+1] -> bitstream bytes."""
+def _encode_q(symbols: np.ndarray, cdf_q: np.ndarray) -> bytes:
+    """symbols int32 [N] + PRE-QUANTIZED uint16 rows -> bitstream."""
     symbols = np.ascontiguousarray(symbols, np.int32)
-    cdf_q = np.ascontiguousarray(quantize_cdf(cdf_float))
+    cdf_q = np.ascontiguousarray(cdf_q)
     n, kp1 = cdf_q.shape
     assert symbols.shape == (n,)
     lib = _native_lib()
@@ -161,9 +161,8 @@ def encode_with_cdf(symbols: np.ndarray, cdf_float: np.ndarray) -> bytes:
     return out[:written].tobytes()
 
 
-def decode_with_cdf(data: bytes, cdf_float: np.ndarray) -> np.ndarray:
-    """bitstream + the same CDF rows -> symbols int32 [N]."""
-    cdf_q = np.ascontiguousarray(quantize_cdf(cdf_float))
+def _decode_q(data: bytes, cdf_q: np.ndarray) -> np.ndarray:
+    cdf_q = np.ascontiguousarray(cdf_q)
     n, kp1 = cdf_q.shape
     lib = _native_lib()
     if lib is None:
@@ -177,6 +176,16 @@ def decode_with_cdf(data: bytes, cdf_float: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise ValueError(f"rans_decode failed: {rc}")
     return out
+
+
+def encode_with_cdf(symbols: np.ndarray, cdf_float: np.ndarray) -> bytes:
+    """symbols int [N], cdf_float [N, K+1] -> bitstream bytes."""
+    return _encode_q(symbols, quantize_cdf(cdf_float))
+
+
+def decode_with_cdf(data: bytes, cdf_float: np.ndarray) -> np.ndarray:
+    """bitstream + the same CDF rows -> symbols int32 [N]."""
+    return _decode_q(data, quantize_cdf(cdf_float))
 
 
 try:
@@ -199,6 +208,54 @@ def _gaussian_cdf_rows(mean, scale, q, min_v: int, max_v: int):
     return _norm_cdf(z)
 
 
+def _gaussian_cdf_q_rows(mean, scale, q, min_v: int, max_v: int,
+                         chunk: int = 32768) -> np.ndarray:
+    """Quantized uint16 CDF rows, built fused + CHUNKED.
+
+    The float builder + separate quantize_cdf pass allocates three
+    [N, K+1] float64 temporaries (~520 MB each at 1M symbols x 64
+    symbols) and was 600x slower than the native coder it feeds; this
+    builds cache-resident chunks and quantizes in-place (gaussian CDF
+    rows are monotone by construction, so quantize_cdf's pre-sorting
+    passes are unnecessary). Encode and decode both use this builder, so
+    the rows stay bit-identical across the round trip.
+    """
+    mean = np.asarray(mean, np.float64).ravel()
+    scale = np.maximum(np.asarray(scale, np.float64).ravel(), 1e-9)
+    qf = np.broadcast_to(np.asarray(q, np.float64).ravel(), mean.shape)
+    kp1 = max_v - min_v + 2
+    k = kp1 - 1
+    samples = np.arange(min_v, max_v + 2, dtype=np.float64) - 0.5
+    n = mean.shape[0]
+    out = np.empty((n, kp1), np.uint16)
+    ramp = np.arange(kp1, dtype=np.int32)
+
+    def build(i):
+        sl = slice(i, min(i + chunk, n))
+        z = samples[None, :] * (qf[sl] / scale[sl])[:, None] \
+            - (mean[sl] / scale[sl])[:, None]
+        c = _norm_cdf(z)
+        qi = np.round(c * float(_PROB_SCALE - k)).astype(np.int32)
+        qi += ramp
+        qi[:, 0] = 0
+        qi[:, -1] = _PROB_SCALE
+        np.maximum.accumulate(qi, axis=1, out=qi)
+        out[sl] = (qi & 0xFFFF).astype(np.uint16)
+
+    starts = range(0, n, chunk)
+    if n > 4 * chunk:
+        # scipy/numpy ufuncs release the GIL: the erf evaluations (the
+        # dominant cost) parallelize across cores
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) \
+                as pool:
+            list(pool.map(build, starts))
+    else:
+        for i in starts:
+            build(i)
+    return out
+
+
 def encode_gaussian(x, mean, scale, q):
     """Quantize x to round(x/Q) and code with the gaussian model.
 
@@ -208,8 +265,8 @@ def encode_gaussian(x, mean, scale, q):
     q_arr = np.broadcast_to(np.asarray(q, np.float64).ravel(), x.shape)
     sym_val = np.round(x / q_arr).astype(np.int64)
     min_v, max_v = int(sym_val.min()), int(sym_val.max())
-    cdf = _gaussian_cdf_rows(mean, scale, q_arr, min_v, max_v)
-    data = encode_with_cdf((sym_val - min_v).astype(np.int32), cdf)
+    cdf_q = _gaussian_cdf_q_rows(mean, scale, q_arr, min_v, max_v)
+    data = _encode_q((sym_val - min_v).astype(np.int32), cdf_q)
     return data, min_v, max_v
 
 
@@ -217,8 +274,8 @@ def decode_gaussian(data, mean, scale, q, min_v: int, max_v: int):
     """Inverse of encode_gaussian -> dequantized float64 values."""
     mean = np.asarray(mean, np.float64).ravel()
     q_arr = np.broadcast_to(np.asarray(q, np.float64).ravel(), mean.shape)
-    cdf = _gaussian_cdf_rows(mean, scale, q_arr, min_v, max_v)
-    sym = decode_with_cdf(data, cdf).astype(np.int64) + min_v
+    cdf_q = _gaussian_cdf_q_rows(mean, scale, q_arr, min_v, max_v)
+    sym = _decode_q(data, cdf_q).astype(np.int64) + min_v
     return sym.astype(np.float64) * q_arr
 
 
