@@ -366,6 +366,17 @@ def rasterize_tiles(proj: ProjectedSplats,
             entries=lax.with_sharding_constraint(bins.entries, tile_sharding),
             entry_mask=lax.with_sharding_constraint(bins.entry_mask,
                                                     tile_sharding))
+    if n == 0:
+        # empty scene: both blend paths gather per-entry splat data and
+        # cannot gather from zero-length arrays — the composite is just
+        # the background (found by config fuzzing; the reference never
+        # rasterizes an empty model either)
+        out = RenderOutput(
+            color=jnp.broadcast_to(bg.astype(jnp.float32), (H, W, 3)),
+            depth=jnp.zeros((H, W), jnp.float32),
+            alpha=jnp.zeros((H, W), jnp.float32),
+            final_T=jnp.ones((H, W), jnp.float32))
+        return out, bins
     # neutralize contributions of invalid splats (mirrors radius-0 cull)
     opac_eff = jnp.where(proj.valid, opacities, 0.0)
     if tile_sharding is not None and backend == 'pallas':

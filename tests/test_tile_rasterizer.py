@@ -351,3 +351,43 @@ def test_two_key_sort_branch_matches_packed_branch(rng):
                 assert gs[p] == g
                 checked += 1
     assert checked > 0
+
+
+def test_empty_scene_and_odd_geometry(rng):
+    """n=0 must render pure background (both backends used to crash on
+    zero-length gathers), and non-square / non-tile-multiple images plus
+    tile sizes 8 and 32 must match the golden model."""
+    from bloomscene_tpu.ops.reference_rasterizer import rasterize_reference
+    from bloomscene_tpu.ops.pallas import blend as pallas_blend
+    pallas_blend.INTERPRET = True
+    view, full, fx, fy, tx, ty = make_camera()
+    bg = jnp.array([0.25, 0.5, 0.75])
+    empty = projection.project_gaussians(
+        jnp.zeros((0, 3)), jnp.zeros((0, 6)), view, full, W, H,
+        fx, fy, tx, ty)
+    for backend in ('xla', 'pallas'):
+        out, _ = rasterize_tiles(empty, jnp.zeros((0, 3)), jnp.zeros((0,)),
+                                 bg, W, H, tile=TILE, tile_capacity=32,
+                                 backend=backend)
+        assert np.allclose(np.asarray(out.color), np.asarray(bg))
+        assert np.allclose(np.asarray(out.final_T), 1.0)
+
+    for (w2, h2, tl) in ((72, 40, 16), (56, 56, 8), (64, 64, 32)):
+        means, scales, quats, colors, opac = random_scene(rng, 60)
+        cov6 = projection.build_cov3d(scales, quats)
+        import numpy as _np
+        fovx = fovy = 1.0
+        v = graphics.world_to_view(_np.eye(3), _np.zeros(3))
+        f = graphics.projection_matrix(0.01, 100.0, fovx, fovy) @ v
+        pr = projection.project_gaussians(
+            means, cov6, jnp.asarray(v), jnp.asarray(f), w2, h2,
+            graphics.fov2focal(fovx, w2), graphics.fov2focal(fovy, h2),
+            _np.tan(fovx / 2), _np.tan(fovy / 2))
+        gold = rasterize_reference(pr, colors, opac, bg, w2, h2, tile=tl)
+        for backend in ('xla', 'pallas'):
+            out, _ = rasterize_tiles(pr, colors, opac, bg, w2, h2,
+                                     tile=tl, pair_capacity=4096,
+                                     tile_capacity=128, backend=backend)
+            np.testing.assert_allclose(np.asarray(out.color),
+                                       np.asarray(gold.color), atol=1e-4)
+    pallas_blend.INTERPRET = False
