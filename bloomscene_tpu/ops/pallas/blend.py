@@ -51,29 +51,38 @@ GRAD_W = 16          # per-entry grads: dmx,dmy,dca,dcb,dcc,dop,dde,dr,dg,db
 def pack_splat_data_sorted(mean2d, conic, depth, color, opac,
                            gauss_sorted, t_start, cap: int) -> jnp.ndarray:
     """Expand per-Gaussian attrs into the kernel's [cap, W, T] layout from
-    the depth-sorted PAIR list: one random gather of the pair list + per-
-    tile CONTIGUOUS dynamic slices (tile ranges are contiguous in the
-    sorted list).
+    the depth-sorted PAIR list: two chained LANE gathers + one transpose.
 
-    LAYOUT: everything stays TRANSPOSED [W, n] / [W, PC] — 2D arrays with
-    a 16-wide minor dim pad 8x under TPU (8,128) tiling, which at bench
-    size turns ~130MB of pair data into >1GB of hidden HBM traffic. The
-    gather runs along the minor axis of the tight [W, N] table instead."""
-    n = mean2d.shape[0]
+    slab[slot, :, tile] = attrs[gauss_sorted[t_start[tile] + slot]] — the
+    (slot, tile) -> sorted-pair-position grid is computed directly, so the
+    whole pack is one s32 gather (pair id), one [W, N] attribute gather
+    along lanes, and a [W, cap, T] -> [cap, W, T] transpose. Replaces the
+    earlier per-tile dynamic-slice loop, which lowered to a num_tiles-
+    iteration while loop (~1.6 ms/step at bench size vs ~0.3 ms for this).
+
+    Slots at/past a tile's count now carry a CLAMPED neighbor's attrs
+    instead of zeros — safe: both kernels mask every entry by the tile's
+    count before it can contribute (vld term), and the backward writes
+    zero grads for masked rows. LAYOUT: tables stay TRANSPOSED [W, n]
+    (a [n, W] table with W=16 minor pads 8x under (8,128) tiling)."""
     PC = gauss_sorted.shape[0]
+    num_tiles = t_start.shape[0]
     baseT = jnp.stack([
         mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
         opac, depth, color[:, 0], color[:, 1], color[:, 2]], 0)  # [10, N]
-    # gather only the 10 live rows (DATA_W-10 pad rows would add 60% dead
-    # gather traffic); pad rows + the slice-safe tail join afterwards
-    bsT = jnp.concatenate([
+    # both gathers run ALONG LANES of a 2D table (the vectorized gather
+    # form on TPU; 1D takes with large index vectors lower to a serial
+    # path measured ~100x slower). The zero tail keeps beyond-range slots
+    # exact zeros without clamping.
+    asT = jnp.concatenate([
         jnp.pad(jnp.take(baseT, gauss_sorted, axis=1),
                 ((0, DATA_W - 10), (0, 0))),
         jnp.zeros((DATA_W, cap), jnp.float32)], 1)         # [W, PC+cap]
-    sl = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(bsT, (0, s), (DATA_W, cap)))(
-        jnp.minimum(t_start, PC))                          # [T, W, cap]
-    return jnp.transpose(sl, (2, 1, 0))                    # [cap, W, T]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    pgrid = jnp.minimum(t_start, PC)[None, :] + slot[:, None]   # [cap, T]
+    out = jnp.take(asT, pgrid.reshape(-1),
+                   axis=1).reshape(DATA_W, cap, num_tiles)
+    return jnp.transpose(out, (1, 0, 2))                   # [cap, W, T]
 
 
 def counts_rows(counts, num_tiles: int) -> jnp.ndarray:

@@ -5,12 +5,13 @@ TPU fast path by rasterize_tiles(backend='pallas'). Unified 5-channel
 cotangents (r, g, b, depth-value, ones) exactly as the XLA backward.
 
 Load balancing: tiles are processed in OCCUPANCY-SORTED order (descending
-splat count). The kernels' per-group splat loop runs to the group max, so
-grouping similar-count tiles together removes the wasted iterations that
-arbitrary grouping pays on skewed scenes (the CUDA kernel has no such
-issue — its blocks are per-tile — but the TPU vector unit wants 128 tiles
-per program). The permutation is undone on the pixel outputs; the
-gradient path works entirely in permuted "position" space.
+splat count; perm/pos computed in ops.tiles.bin_splats). The kernels'
+per-group splat loop runs to the group max, so grouping similar-count
+tiles together removes the wasted iterations that arbitrary grouping pays
+on skewed scenes (the CUDA kernel has no such issue — its blocks are
+per-tile — but the TPU vector unit wants 128 tiles per program). The
+permutation is undone on the pixel outputs; the gradient path works
+entirely in permuted "position" space.
 """
 from __future__ import annotations
 
@@ -26,7 +27,10 @@ from . import blend as pb
 
 
 def _occupancy_perm(counts):
-    """perm: position -> tile id, descending count; pos: tile id -> position."""
+    """perm: position -> tile id, descending count; pos: tile id -> position.
+
+    (Retained for callers that bin without grad_index; the production path
+    reads bins.perm/bins.pos computed by ops.tiles.bin_splats.)"""
     T = counts.shape[0]
     iota = jnp.arange(T, dtype=jnp.int32)
     _, perm = lax.sort((-counts, iota), num_keys=1, is_stable=True)
@@ -36,17 +40,15 @@ def _occupancy_perm(counts):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def tile_blend_pallas(tile, gx, gy, W, H, cap, mean2d, conic, depth, color,
-                      opac, bg, gauss_sorted, tile_sorted, t_start, counts,
-                      p_of_e=None, starts_by_id=None, ends_by_id=None,
-                      num_packed=None):
+                      opac, bg, gauss_sorted, t_start, counts, perm, pos,
+                      src_lane=None, starts_by_id=None, ends_by_id=None):
     out, _ = _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color,
-                       opac, bg, gauss_sorted, tile_sorted, t_start, counts)
+                       opac, bg, gauss_sorted, t_start, counts, perm, pos)
     return out
 
 
 def _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac,
-              bg, gauss_sorted, tile_sorted, t_start, counts):
-    perm, pos = _occupancy_perm(counts)
+              bg, gauss_sorted, t_start, counts, perm, pos):
     counts_p = counts[perm]
     data = pb.pack_splat_data_sorted(mean2d, conic, depth, color, opac,
                                      gauss_sorted, t_start[perm], cap)
@@ -64,24 +66,22 @@ def _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac,
     depth_img = jnp.where(acc_img > ACC_GATE, img[3] / acc_img, 0.0)
     out = RenderOutput(color=color_img, depth=depth_img,
                        alpha=acc_img - ACC_SEED, final_T=img[5])
-    return out, (data, counts_p, perm, pos, Tf, acc, D, ncon)
+    return out, (data, counts_p, perm, Tf, acc, D, ncon)
 
 
 def _fwd(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac, bg,
-         gauss_sorted, tile_sorted, t_start, counts, p_of_e=None,
-         starts_by_id=None, ends_by_id=None, num_packed=None):
+         gauss_sorted, t_start, counts, perm, pos, src_lane=None,
+         starts_by_id=None, ends_by_id=None):
     out, res = _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth,
-                         color, opac, bg, gauss_sorted, tile_sorted,
-                         t_start, counts)
-    return out, (res, bg, gauss_sorted, tile_sorted, t_start,
-                 mean2d.shape[0], p_of_e, starts_by_id, ends_by_id,
-                 num_packed)
+                         color, opac, bg, gauss_sorted, t_start, counts,
+                         perm, pos)
+    return out, (res, bg, gauss_sorted.shape[0], src_lane, starts_by_id,
+                 ends_by_id)
 
 
 def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
-    ((data, counts_p, perm, pos, Tf, acc, D, ncon), bg, gauss_sorted,
-     tile_sorted, t_start, n, p_of_e, starts_by_id, ends_by_id,
-     num_packed) = saved
+    ((data, counts_p, perm, Tf, acc, D, ncon), bg, n_sorted, src_lane,
+     starts_by_id, ends_by_id) = saved
     # cotangent images -> permuted position space (match fwd residuals);
     # batched: one tiling transpose + ONE lane-permutation gather for all
     # six cotangent planes instead of six
@@ -106,14 +106,13 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
         data, counts_p, tile, gx, gy, Tf, ncon, g_r, g_g, g_b, u_d, u_one,
         bg_term, tid=perm)                      # [cap, GRAD_W, T_pos]
 
-    # reduce per-entry grads to per-gaussian. Row scatters serialize on
-    # TPU (~16ns/row) but lane-GATHERS are vectorized, so the fast path
-    # avoids scatter entirely by working in EMISSION ("rank-major") order,
-    # where each Gaussian's pairs are CONTIGUOUS (pair expansion emits
-    # rank-major; ops.tiles.bin_splats(grad_index=True) supplies the
-    # emission<->tile-sort index arrays):
+    # reduce per-entry grads to per-gaussian, scatter-free, in EMISSION
+    # ("rank-major") order where each Gaussian's pairs are CONTIGUOUS:
     #   1. ONE lane-gather pulls the kernel's per-entry grads [10, cap*T]
-    #      into emission order [10, PC] (channels on sublanes — tight).
+    #      into emission order [10, PC] — bins.src_lane already encodes
+    #      (slot, permuted tile) per emission slot, precomputed in sorted
+    #      order by ops.tiles.bin_splats (dead/culled/truncated pairs
+    #      point at the trailing dump lane).
     #   2. MXU two-level cumsum along lanes.
     #   3. boundary-diff at each id's emission range = two [10, n] lane
     #      gathers. No scatter, no segment-sum.
@@ -123,60 +122,28 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
     # ~1.6e-4 relative to typical gradient scale) — well under minibatch
     # noise and the on-device verify gate; segment order is unspecified
     # for segment_sum too.
-    n_pairs = gauss_sorted.shape[0]
     W_ = 10                      # only the 10 live grad channels move;
                                  # GRAD_W-10 pad rows stay in the kernel buf
     T_pos = counts_p.shape[0]
-    if p_of_e is not None:
-        from ..tiles import cumsum_lanes
-        PC = p_of_e.shape[0]
-        # source rows: [10, cap*T + 128]; the trailing zero block is the
-        # dump lane for culled / truncated / over-capacity pairs
-        src = jnp.concatenate([
-            jnp.transpose(grad[:, :W_, :], (1, 0, 2)).reshape(
-                W_, cap * T_pos),
-            jnp.zeros((W_, 128), jnp.float32)], axis=1)
-        DUMP = cap * T_pos
-        live_cap = jnp.minimum(num_packed, n_pairs)
-        psafe = jnp.minimum(p_of_e, n_pairs - 1)
-        t1 = jnp.take(tile_sorted[None, :], psafe, axis=1)[0]   # [PC]
-        tt = jnp.take(jnp.stack([t_start, pos]),
-                      jnp.minimum(t1, T_pos - 1), axis=1)       # [2, PC]
-        slot = psafe - tt[0]
-        ok = (p_of_e < live_cap) & (slot >= 0) & (slot < cap)
-        src_lane = jnp.where(ok, slot * T_pos + tt[1], DUMP)
-        pgT = jnp.take(src, src_lane, axis=1)                   # [10, PC]
-        C = cumsum_lanes(pgT)                                   # inclusive
-        Cx = C - pgT                                            # exclusive
-        s_idx = jnp.minimum(starts_by_id, PC)
-        e_idx = jnp.minimum(ends_by_id, PC)
-        sums_T = jnp.where(
-            (e_idx > s_idx)[None, :],
-            jnp.take(C, jnp.maximum(e_idx - 1, 0), axis=1)
-            - jnp.take(Cx, jnp.minimum(s_idx, PC - 1), axis=1),
-            0.0)                                                # [10, n]
-        sums = sums_T.T
-    else:
-        # fallback (stable-sort binning branch has no emission index):
-        # window scatter-add to the sorted-pair list + one segment-sum.
-        # Each tile's [cap, W] slab lands at its t_start; slots beyond
-        # the tile count are exact zeros, so the overlap into the next
-        # tile's range adds zeros. FLAT 1D pair-major space — a
-        # [T, cap, W] update tensor would pad its 16-wide minor dim to
-        # 128 lanes.
-        updates = jnp.transpose(grad[:, :W_, :], (2, 0, 1)).reshape(
-            grad.shape[2], cap * W_)            # [T_pos, cap*W] (tight)
-        starts_p = jnp.minimum(t_start[perm], n_pairs) * W_
-        dnums = lax.ScatterDimensionNumbers(
-            update_window_dims=(1,), inserted_window_dims=(),
-            scatter_dims_to_operand_dims=(0,))
-        buf = lax.scatter_add(
-            jnp.zeros(((n_pairs + cap) * W_,), jnp.float32),
-            starts_p[:, None], updates, dnums)
-        pair_grad = buf.reshape(n_pairs + cap, W_)[:n_pairs]
-        pair_ok = tile_sorted < Tf.shape[1]
-        seg = jnp.where(pair_ok, gauss_sorted, n)
-        sums = jax.ops.segment_sum(pair_grad, seg, n + 1)[:n]   # [n, 10]
+    from ..tiles import cumsum_lanes
+    PC = src_lane.shape[0]
+    # source rows: [10, cap*T + 128]; the trailing zero block is the
+    # dump lane for culled / truncated / over-capacity pairs
+    src = jnp.concatenate([
+        jnp.transpose(grad[:, :W_, :], (1, 0, 2)).reshape(
+            W_, cap * T_pos),
+        jnp.zeros((W_, 128), jnp.float32)], axis=1)
+    pgT = jnp.take(src, jnp.minimum(src_lane, cap * T_pos), axis=1)
+    C = cumsum_lanes(pgT)                                   # inclusive
+    Cx = C - pgT                                            # exclusive
+    s_idx = jnp.minimum(starts_by_id, PC)
+    e_idx = jnp.minimum(ends_by_id, PC)
+    sums_T = jnp.where(
+        (e_idx > s_idx)[None, :],
+        jnp.take(C, jnp.maximum(e_idx - 1, 0), axis=1)
+        - jnp.take(Cx, jnp.minimum(s_idx, PC - 1), axis=1),
+        0.0)                                                # [10, n]
+    sums = sums_T.T
     d_mean2d = sums[:, 0:2]
     d_conic = sums[:, 2:5]
     d_opac = sums[:, 5]
@@ -189,9 +156,9 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
     zero = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
     zlike = lambda a: None if a is None else zero(jnp.shape(a))
     return (d_mean2d, d_conic, d_depth, d_color, d_opac, d_bg,
-            zero((n_pairs,)), zero((n_pairs,)), zero(counts_p.shape),
-            zero(counts_p.shape), zlike(p_of_e), zlike(starts_by_id),
-            zlike(ends_by_id), zlike(num_packed))
+            zero((n_sorted,)), zero(counts_p.shape), zero(counts_p.shape),
+            zero(counts_p.shape), zero(counts_p.shape),
+            zlike(src_lane), zlike(starts_by_id), zlike(ends_by_id))
 
 
 tile_blend_pallas.defvjp(_fwd, _bwd)

@@ -390,10 +390,9 @@ def rasterize_tiles(proj: ProjectedSplats,
         out = tile_blend_pallas(tile, gx, gy, W, H, tile_capacity,
                                 proj.mean2d, proj.conic, proj.depth,
                                 colors, opac_eff, bg, bins.gauss_sorted,
-                                bins.tile_sorted, bins.t_start,
-                                bins.counts, bins.p_of_e,
-                                bins.starts_by_id, bins.ends_by_id,
-                                bins.num_packed)
+                                bins.t_start, bins.counts, bins.perm,
+                                bins.pos, bins.src_lane,
+                                bins.starts_by_id, bins.ends_by_id)
     else:
         out = tile_blend(tile, gx, gy, W, H, proj.mean2d, proj.conic,
                          proj.depth, colors, opac_eff, bg, bins.entries,

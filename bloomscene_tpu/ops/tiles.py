@@ -55,10 +55,17 @@ class TileBins(NamedTuple):
     # emission ("rank-major") order makes each Gaussian's pairs CONTIGUOUS,
     # so per-Gaussian gradient sums become cumsum + boundary-diff — all
     # vectorized lane ops, replacing the serial scatter-add segment-sum.
-    p_of_e: jnp.ndarray | None = None        # [pair_capacity] int32: tile-
-    #   sorted position of each emission slot (inverse of the tile sort)
+    # src_lane[e] is precomputed HERE (in sorted order, where every lookup
+    # is a small-table or monotonic gather) instead of in the reducer
+    # (where indexing by the sort inverse made every gather random-access).
+    src_lane: jnp.ndarray | None = None      # [pair_capacity] int32: lane
+    #   into the backward kernel's flattened [cap * T] grad buffer for each
+    #   emission slot (tile_capacity * num_tiles = dump lane for dead pairs)
     starts_by_id: jnp.ndarray | None = None  # [n] int32 emission range start
     ends_by_id: jnp.ndarray | None = None    # [n] int32 emission range end
+    # occupancy sort of the tile grid (kernel load balance; grad_index=True)
+    perm: jnp.ndarray | None = None          # [T] position -> tile id
+    pos: jnp.ndarray | None = None           # [T] tile id -> position
 
 
 def tile_grid(W: int, H: int, tile: int) -> tuple[int, int]:
@@ -284,9 +291,10 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     rid = jnp.arange(n, dtype=jnp.int32)
     # start slots of touched>0 ranks are strictly increasing, and untouched
     # ranks get DISTINCT out-of-bounds slots (dropped) => indices globally
-    # unique; unique_indices lets XLA skip the collision-serialization path
+    # unique, so a plain scatter-SET suffices (no combiner): measured ~25x
+    # faster than the max-combiner scatter on v5e (0.03 vs 0.84 ms)
     markers = jnp.zeros((pair_capacity,), jnp.float32).at[
-        jnp.where(touched_s > 0, starts, pair_capacity + rid)].max(
+        jnp.where(touched_s > 0, starts, pair_capacity + rid)].set(
         (rid + 1).astype(jnp.float32), mode='drop', unique_indices=True)
     rank_c = jnp.maximum(cummax_1d(markers).astype(jnp.int32) - 1, 0)
 
@@ -379,7 +387,7 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     # come out front-to-back. Culled pairs carry tile_id == num_tiles and
     # sort to the tail, past packed_capacity.
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    p_of_e = starts_by_id = ends_by_id = None
+    src_lane = starts_by_id = ends_by_id = perm = pos = None
     kbits = max(1, pair_capacity - 1).bit_length()
     if kbits < 31 and (num_tiles + 1) < (1 << (31 - kbits)):
         # UNIQUE single-key sort (tile << kbits | emission slot): the
@@ -390,9 +398,10 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         key_s, gauss_s = lax.sort((keyi, gauss_o), num_keys=1,
                                   is_stable=False)
         eslot_s = key_s & ((1 << kbits) - 1)
+        tile_full = key_s >> kbits
         key_s = key_s[:packed_capacity]
         gauss_s = gauss_s[:packed_capacity]
-        tile_s = (key_s >> kbits).astype(jnp.int32)
+        tile_s = tile_full[:packed_capacity].astype(jnp.int32)
         # tile ranges directly on the packed keys (keys of tile t live in
         # [t << kbits, (t+1) << kbits))
         t_start = jnp.searchsorted(key_s, tids << kbits,
@@ -405,9 +414,9 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         # LEXICOGRAPHICALLY on two unique int keys — the exact same
         # deterministic order as the packed key, at any size, and the
         # emission slot column keeps grad_index available.
-        tile_sf, eslot_s, gauss_sf = lax.sort((tile_id, k, gauss_o),
-                                              num_keys=2, is_stable=False)
-        tile_s = tile_sf[:packed_capacity]
+        tile_full, eslot_s, gauss_sf = lax.sort((tile_id, k, gauss_o),
+                                                num_keys=2, is_stable=False)
+        tile_s = tile_full[:packed_capacity]
         gauss_s = gauss_sf[:packed_capacity]
         # tile ranges: 1K binary searches over the sorted pair list
         # (cheap; the scatter-min formulation serializes on collisions)
@@ -416,11 +425,29 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         t_end = jnp.searchsorted(tile_s, tids,
                                  side='right').astype(jnp.int32)
     if grad_index:
-        # invert the tile sort: the emission slot per sorted position is
-        # in hand (key low bits / second sort column), so one 2-operand
-        # int sort by it recovers, for every emission slot, its position
-        # in the tile-sorted list.
-        _, p_of_e = lax.sort((eslot_s, k), num_keys=1, is_stable=False)
+        # occupancy sort of the tile grid (the kernels want groups of
+        # similar splat count; the blend wrapper consumes perm/pos)
+        counts_cl = jnp.minimum(t_end - t_start, tile_capacity)
+        _, perm = lax.sort((-counts_cl, tids), num_keys=1, is_stable=True)
+        pos = jnp.zeros((num_tiles,), jnp.int32).at[perm].set(
+            tids, unique_indices=True)
+        # gradient-reduction gather index, built IN SORTED ORDER where
+        # every lookup is a small-table gather (indexing the reducer's
+        # kernel buffer by the sort INVERSE instead made each of these a
+        # random gather over the full pair list — ~3 ms/step at bench
+        # size). sorted position p of tile t, slot s maps to lane
+        # s * num_tiles + pos[t] of the backward kernel's flat grad
+        # buffer; one unique 2-key sort carries it back to emission order.
+        pfull = jnp.arange(pair_capacity, dtype=jnp.int32)
+        live_p = (pfull < packed_capacity) & (tile_full < num_tiles)
+        tcl = jnp.minimum(tile_full, num_tiles - 1)
+        tp = jnp.take(jnp.stack([t_start, pos]), tcl, axis=1)   # [2, P]
+        slotp = pfull - tp[0]
+        okp = live_p & (slotp >= 0) & (slotp < tile_capacity)
+        src_of_p = jnp.where(okp, slotp * num_tiles + tp[1],
+                             tile_capacity * num_tiles)
+        _, src_lane = lax.sort((eslot_s.astype(jnp.int32), src_of_p),
+                               num_keys=1, is_stable=False)
         # per-ORIGINAL-ID emission ranges: rank r owns emission slots
         # [starts[r], offsets[r]); one 3-payload sort by the id
         # permutation re-keys both range arrays from rank to id order.
@@ -457,5 +484,5 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
                     counts=jnp.minimum(counts, tile_capacity),
                     num_packed=num_packed.astype(jnp.int32),
                     packed_overflow=packed_overflow.astype(jnp.int32),
-                    p_of_e=p_of_e, starts_by_id=starts_by_id,
-                    ends_by_id=ends_by_id)
+                    src_lane=src_lane, starts_by_id=starts_by_id,
+                    ends_by_id=ends_by_id, perm=perm, pos=pos)

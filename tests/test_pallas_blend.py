@@ -80,41 +80,31 @@ def test_pallas_backward_matches_xla(rng):
                                    rtol=2e-4, err_msg=f"grad {nm}")
 
 
-def test_backward_scatter_fallback_matches_gather_path(rng):
-    """tile_blend_pallas without the binning grad-index (stable-sort
-    branch) reduces gradients via the window-scatter + segment-sum
-    fallback — must agree with the emission-order gather path."""
-    from bloomscene_tpu.ops import tiles as tiles_lib
-    from bloomscene_tpu.ops.pallas.wrapper import tile_blend_pallas
+def test_backward_with_tile_capacity_truncation_matches_xla(rng):
+    """A snug tile_capacity forces per-tile truncation: the emission->lane
+    grad index must route truncated pairs to the dump lane (zero grads),
+    matching the XLA backend, which masks the same truncated entries."""
+    p, colors, opac = make_scene(rng, n=200)
+    bg = jnp.array([0.3, 0.1, 0.6])
+    tgt_c = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
 
-    p, colors, opac = make_scene(rng, n=80)
-    opac_eff = jnp.where(p.valid, opac, 0.0)
-    bins = tiles_lib.bin_splats(
-        p, W, H, TILE, pair_capacity=4096, tile_capacity=128,
-        opacities=opac_eff, grad_index=True, need_entries=False)
-    gx = gy = W // TILE
-    tgt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    def loss(backend, args):
+        mean2d, colors, opac = args
+        pp = p._replace(mean2d=mean2d)
+        out, bins = rasterize_tiles(pp, colors, opac, bg, W, H, tile=TILE,
+                                    tile_capacity=24, backend=backend)
+        return (jnp.mean((out.color - tgt_c) ** 2)
+                + 0.1 * jnp.mean(out.depth)), bins
 
-    def loss(args, use_index):
-        mean2d, conic, colors, opac = args
-        extra = ((bins.p_of_e, bins.starts_by_id, bins.ends_by_id,
-                  bins.num_packed) if use_index
-                 else (None, None, None, None))
-        out = tile_blend_pallas(
-            TILE, gx, gy, W, H, 128, mean2d, conic, p.depth, colors,
-            jnp.where(p.valid, opac, 0.0), jnp.zeros(3),
-            bins.gauss_sorted, bins.tile_sorted, bins.t_start,
-            bins.counts, *extra)
-        return jnp.mean((out.color - tgt) ** 2) + 0.1 * jnp.mean(out.depth)
-
-    args = (p.mean2d, p.conic, colors, opac)
-    g_gather = jax.grad(lambda a: loss(a, True))(args)
-    g_scatter = jax.grad(lambda a: loss(a, False))(args)
-    for name, a, b in zip(('mean2d', 'conic', 'colors', 'opac'),
-                          g_gather, g_scatter):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-5, rtol=1e-4,
-                                   err_msg=f"grad {name}")
+    args = (p.mean2d, colors, opac)
+    (_, bins_p) = loss('pallas', args)
+    assert int(bins_p.tile_overflow) > 0, "scene must overflow tiles"
+    gx = jax.grad(lambda a: loss('xla', a)[0])(args)
+    gp = jax.grad(lambda a: loss('pallas', a)[0])(args)
+    for nm, a, b in zip(('mean2d', 'colors', 'opac'), gx, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-6, rtol=2e-4,
+                                   err_msg=f"grad {nm}")
 
 
 def test_odd_cap_chunk_unroll_clamp(rng):

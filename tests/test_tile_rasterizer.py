@@ -251,20 +251,20 @@ def test_jit_and_shapes(rng):
 
 
 def test_grad_index_invariants(rng):
-    """bin_splats(grad_index=True): p_of_e inverts the tile sort and the
-    per-id emission ranges tile the emitted pair list exactly."""
+    """bin_splats(grad_index=True): src_lane maps each live emission slot
+    to its (slot, permuted-tile) lane of the backward kernel's grad
+    buffer, and the per-id emission ranges tile the pair list exactly."""
     means, scales, quats, colors, opac = random_scene(rng, 100)
     proj = project(means, scales, quats)
     n = means.shape[0]
     PC = 4096
+    CAP = 256
     bins = bin_splats(proj, W, H, TILE, pair_capacity=PC,
-                      tile_capacity=256,
+                      tile_capacity=CAP,
                       opacities=jnp.where(proj.valid, opac, 0.0),
                       grad_index=True)
-    assert bins.p_of_e is not None
-    p_of_e = np.asarray(bins.p_of_e)
-    # inverse-permutation property
-    assert sorted(p_of_e.tolist()) == list(range(PC))
+    assert bins.src_lane is not None
+    src_lane = np.asarray(bins.src_lane)
     s = np.asarray(bins.starts_by_id)
     e = np.asarray(bins.ends_by_id)
     total = int(bins.num_pairs)
@@ -275,18 +275,29 @@ def test_grad_index_invariants(rng):
     nz = order[(e - s)[order] > 0]
     assert s[nz[0]] == 0 and e[nz[-1]] == total
     assert (s[nz][1:] == e[nz][:-1]).all()
-    # each id's emission range maps (via p_of_e) to tile-sorted positions
-    # whose gaussian id is that id (survivors only)
+    # occupancy perm is a permutation with pos its inverse
+    num_tiles = (W // TILE) * (H // TILE)
+    perm = np.asarray(bins.perm)
+    pos = np.asarray(bins.pos)
+    assert sorted(perm.tolist()) == list(range(num_tiles))
+    assert (perm[pos] == np.arange(num_tiles)).all()
+    # live lanes are unique; each id's emission range maps to grad-buffer
+    # lanes whose underlying sorted pair carries that gaussian id
+    DUMP = CAP * num_tiles
+    live = src_lane[src_lane < DUMP]
+    assert len(set(live.tolist())) == len(live)
+    assert len(live) == int(bins.num_packed)
     gauss_sorted = np.asarray(bins.gauss_sorted)
     tile_sorted = np.asarray(bins.tile_sorted)
-    num_tiles = (W // TILE) * (H // TILE)
-    npk = int(bins.num_packed)
+    t_start = np.asarray(bins.t_start)
     for g in rng.integers(0, n, 25):
         for eslot in range(s[g], e[g]):
-            p = p_of_e[eslot]
-            if p < npk:
+            lane = src_lane[eslot]
+            if lane < DUMP:
+                slot, tile = lane // num_tiles, perm[lane % num_tiles]
+                p = t_start[tile] + slot
                 assert gauss_sorted[p] == g
-                assert tile_sorted[p] < num_tiles
+                assert tile_sorted[p] == tile
 
 
 def test_opacity_rects_subset_of_reference_rects(rng):
@@ -336,18 +347,25 @@ def test_two_key_sort_branch_matches_packed_branch(rng):
                                   np.asarray(big.gauss_sorted))
     np.testing.assert_array_equal(np.asarray(small.tile_sorted),
                                   np.asarray(big.tile_sorted))
-    # grad-index invariants hold on the 2-key branch too
-    assert big.p_of_e is not None
-    npk = int(big.num_packed)
-    p_of_e = np.asarray(big.p_of_e)
+    # grad-index invariants hold on the 2-key branch too (and the two
+    # branches must agree exactly on the emission->lane map)
+    assert big.src_lane is not None
+    np.testing.assert_array_equal(np.asarray(small.src_lane)[:8192],
+                                  np.asarray(big.src_lane)[:8192])
+    num_tiles2 = (W2 // TILE) * (H2 // TILE)
+    DUMP = 64 * num_tiles2
+    src_lane = np.asarray(big.src_lane)
+    perm = np.asarray(big.perm)
     gs = np.asarray(big.gauss_sorted)
+    t_start = np.asarray(big.t_start)
     s = np.asarray(big.starts_by_id)
     e = np.asarray(big.ends_by_id)
     checked = 0
     for g in rng.integers(0, 120, 30):
         for eslot in range(s[g], e[g]):
-            p = p_of_e[eslot]
-            if p < npk:
+            lane = src_lane[eslot]
+            if lane < DUMP:
+                p = t_start[perm[lane % num_tiles2]] + lane // num_tiles2
                 assert gs[p] == g
                 checked += 1
     assert checked > 0
