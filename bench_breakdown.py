@@ -14,7 +14,6 @@ from bloomscene_tpu.ops import projection, graphics
 from bloomscene_tpu.ops import tiles as tiles_lib
 from bloomscene_tpu.ops.tile_rasterizer import rasterize_tiles
 from bloomscene_tpu.ops.pallas import blend as pb
-from bloomscene_tpu.ops.pallas.wrapper import _occupancy_perm
 
 N = 100_000
 W = H = 512
@@ -72,31 +71,29 @@ def make_variant(upto, grad_index=True):
             opacities=jnp.where(proj.valid, a[4], 0.0),
             packed_capacity=PACKED_CAP, grad_index=grad_index,
             need_entries=False)
+        gi = (bins.src_lane, bins.starts_by_id, bins.ends_by_id,
+              bins.perm, bins.pos) if grad_index else ()
         if upto == 'bin':
             return consume(proj.mean2d, bins.gauss_sorted, bins.tile_sorted,
-                           bins.t_start, bins.counts, bins.p_of_e,
-                           bins.starts_by_id, bins.ends_by_id)
-        perm, pos = _occupancy_perm(bins.counts)
+                           bins.t_start, bins.counts, *gi)
+        perm = bins.perm
         data = pb.pack_splat_data_sorted(proj.mean2d, proj.conic,
                                          proj.depth, a[3], a[4],
                                          bins.gauss_sorted,
                                          bins.t_start[perm], TILE_CAP)
         if upto == 'pack':
-            return consume(data, bins.p_of_e, bins.starts_by_id,
-                           bins.ends_by_id, pos)
+            return consume(data, *gi)
         fw = pb.blend_forward_pallas(data, bins.counts[perm], TILE, GX, GY,
                                      tid=perm)
         if upto == 'fwd':
-            return consume(*fw, bins.p_of_e, bins.starts_by_id,
-                           bins.ends_by_id, pos)
+            return consume(*fw, *gi)
         r, g, b, D, acc, Tf, ncon = fw
         u = jnp.broadcast_to(jnp.float32(1e-6), (TILE * TILE, GX * GY))
         gr = pb.blend_backward_pallas(data, bins.counts[perm], TILE, GX,
                                       GY, Tf, ncon, u, u, u, u, u, u,
                                       tid=perm)
         if upto == 'bwd':
-            return consume(gr, bins.p_of_e, bins.starts_by_id,
-                           bins.ends_by_id, pos)
+            return consume(gr, *gi)
         raise ValueError(upto)
 
     @jax.jit

@@ -60,11 +60,13 @@ def pack_splat_data_sorted(mean2d, conic, depth, color, opac,
     earlier per-tile dynamic-slice loop, which lowered to a num_tiles-
     iteration while loop (~1.6 ms/step at bench size vs ~0.3 ms for this).
 
-    Slots at/past a tile's count now carry a CLAMPED neighbor's attrs
-    instead of zeros — safe: both kernels mask every entry by the tile's
-    count before it can contribute (vld term), and the backward writes
-    zero grads for masked rows. LAYOUT: tables stay TRANSPOSED [W, n]
-    (a [n, W] table with W=16 minor pads 8x under (8,128) tiling)."""
+    Slots at/past a tile's count read PAST the tile's range: within-range
+    overhang slots pick up the NEXT tile's pairs, slots beyond the packed
+    pair list land in the appended zero tail. Both are safe: the kernels
+    mask every entry by the tile's count before it can contribute (vld
+    term), and the backward writes zero grads for masked rows. LAYOUT:
+    tables stay TRANSPOSED [W, n] (a [n, W] table with W=16 minor pads 8x
+    under (8,128) tiling)."""
     PC = gauss_sorted.shape[0]
     num_tiles = t_start.shape[0]
     baseT = jnp.stack([

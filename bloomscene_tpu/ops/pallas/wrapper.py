@@ -82,6 +82,12 @@ def _fwd(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac, bg,
 def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
     ((data, counts_p, perm, Tf, acc, D, ncon), bg, n_sorted, src_lane,
      starts_by_id, ends_by_id) = saved
+    if src_lane is None or starts_by_id is None or ends_by_id is None:
+        raise ValueError(
+            "tile_blend_pallas gradients require the grad-index arrays "
+            "(src_lane, starts_by_id, ends_by_id) — bin with "
+            "bin_splats(..., grad_index=True) and pass bins.src_lane/"
+            "starts_by_id/ends_by_id. Forward-only calls may omit them.")
     # cotangent images -> permuted position space (match fwd residuals);
     # batched: one tiling transpose + ONE lane-permutation gather for all
     # six cotangent planes instead of six

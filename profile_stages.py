@@ -72,21 +72,19 @@ def stage_bin(proj, opac):
                                 need_entries=False)
 bins = stage_bin(proj, argsj[4])
 
-# stage C: pack
-from bloomscene_tpu.ops.pallas.wrapper import _occupancy_perm
+# stage C: pack (bins.perm/pos precomputed by bin_splats with grad_index)
 @jax.jit
 def stage_pack(proj, colors, opac, bins):
-    perm, pos = _occupancy_perm(bins.counts)
     return pb.pack_splat_data_sorted(proj.mean2d, proj.conic, proj.depth,
                                      colors, opac, bins.gauss_sorted,
-                                     bins.t_start[perm], tile_cap)
+                                     bins.t_start[bins.perm], tile_cap)
 data = stage_pack(proj, argsj[3], argsj[4], bins)
 
 # stage D: fwd blend kernel
 @jax.jit
 def stage_fwd(data, bins):
-    perm, pos = _occupancy_perm(bins.counts)
-    return pb.blend_forward_pallas(data, bins.counts[perm], 16, 32, 32, tid=perm)
+    return pb.blend_forward_pallas(data, bins.counts[bins.perm], 16, 32, 32,
+                                   tid=bins.perm)
 fw = stage_fwd(data, bins)
 
 # stage E: bwd blend kernel
@@ -94,31 +92,21 @@ r, g, b, D, acc, Tf, ncon = fw
 u = jnp.ones((256, 1024), jnp.float32)
 @jax.jit
 def stage_bwd(data, bins, Tf, ncon):
-    perm, pos = _occupancy_perm(bins.counts)
-    return pb.blend_backward_pallas(data, bins.counts[perm], 16, 32, 32,
-                                    Tf, ncon, u, u, u, u, u, u, tid=perm)
+    return pb.blend_backward_pallas(data, bins.counts[bins.perm], 16, 32, 32,
+                                    Tf, ncon, u, u, u, u, u, u, tid=bins.perm)
 gr = stage_bwd(data, bins, Tf, ncon)
 
-# stage F: grad reduce (emission-order gather + cumsum + boundary diff)
+# stage F: grad reduce (emission-order gather + cumsum + boundary diff,
+# mirrors wrapper._bwd using the precomputed bins.src_lane index)
 @jax.jit
 def stage_reduce(grad, bins):
     from bloomscene_tpu.ops.tiles import cumsum_lanes
-    perm, pos = _occupancy_perm(bins.counts)
-    n_pairs_ = bins.gauss_sorted.shape[0]
     cap = tile_cap; T_pos = bins.counts.shape[0]
-    PC = bins.p_of_e.shape[0]
+    PC = bins.src_lane.shape[0]
     src = jnp.concatenate([
         jnp.transpose(grad[:, :10, :], (1, 0, 2)).reshape(10, cap*T_pos),
         jnp.zeros((10, 128), jnp.float32)], axis=1)
-    DUMP = cap*T_pos
-    live_cap = jnp.minimum(bins.num_packed, n_pairs_)
-    psafe = jnp.minimum(bins.p_of_e, n_pairs_-1)
-    t1 = jnp.take(bins.tile_sorted[None, :], psafe, axis=1)[0]
-    tt = jnp.take(jnp.stack([bins.t_start, pos]), jnp.minimum(t1, T_pos-1), axis=1)
-    slot = psafe - tt[0]
-    ok = (bins.p_of_e < live_cap) & (slot >= 0) & (slot < cap)
-    src_lane = jnp.where(ok, slot*T_pos + tt[1], DUMP)
-    pgT = jnp.take(src, src_lane, axis=1)
+    pgT = jnp.take(src, jnp.minimum(bins.src_lane, cap*T_pos), axis=1)
     C = cumsum_lanes(pgT)
     Cx = C - pgT
     s_idx = jnp.minimum(bins.starts_by_id, PC)
