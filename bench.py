@@ -67,6 +67,20 @@ def main():
     from bloomscene_tpu.ops.tile_rasterizer import rasterize_tiles
     from bloomscene_tpu.ops import graphics
 
+    # correctness gate FIRST: the timed kernels must be verified on this
+    # device in this process (a stale VERIFY artifact once shipped with
+    # unverified kernels; now every BENCH json certifies its own kernels)
+    verify_ok = verify(n=20_000, res=256, write_artifact=True) == 0
+    if not verify_ok:
+        print(json.dumps({
+            "metric":
+                "rasterize_fwd_bwd_mpix_per_s_per_chip_100k_splats_512px",
+            "value": 0.0, "unit": "Mpixels/s/chip", "vs_baseline": 0.0,
+            "verify_ok": False,
+            "error": "on-device Pallas-vs-XLA verification FAILED; "
+                     "see VERIFY_TPU.json"}), flush=True)
+        return 1
+
     rng = np.random.default_rng(0)
     n = N_SPLATS
     means = np.stack([rng.uniform(-1.5, 1.5, n), rng.uniform(-1.5, 1.5, n),
@@ -117,8 +131,15 @@ def main():
     tile_cap = int(-(-int(max_count) // 128) * 128)
 
     def loss(args):
-        means, scales, quats, colors, opac = args
-        cov6 = projection.build_cov3d(scales, quats)
+        # parameters are carried as FLAT leaves (the production anchor
+        # state is flat too — [N, 3/4] carries pad 42x under TPU (8, 128)
+        # tiling and would tax every SGD update with padded-layout
+        # read/writes); the reshapes fuse into the consumers.
+        means_f, scales_f, quats_f, colors_f, opac = args
+        means = means_f.reshape(n, 3)
+        colors = colors_f.reshape(n, 3)
+        cov6 = projection.build_cov3d(scales_f.reshape(n, 3),
+                                      quats_f.reshape(n, 4))
         proj = projection.project_gaussians(means, cov6, view, full,
                                             W, H, fx, fy, tx, ty)
         out, _ = rasterize_tiles(proj, colors, opac, jnp.zeros(3),
@@ -138,8 +159,8 @@ def main():
         return jax.lax.fori_loop(0, STEPS_PER_CALL, step,
                                  (args, jnp.float32(0)))
 
-    args = tuple(jnp.asarray(a) for a in (means, scales, quats, colors,
-                                          opac))
+    args = tuple(jnp.asarray(a.reshape(-1)) for a in
+                 (means, scales, quats, colors)) + (jnp.asarray(opac),)
     for _ in range(WARMUP):
         out = fwd_bwd(args)
     jax.block_until_ready(out)
@@ -156,10 +177,11 @@ def main():
         "value": round(mpix_s, 3),
         "unit": "Mpixels/s/chip",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 4),
+        "verify_ok": True,
     }))
 
 
-def verify(n: int = 20_000, res: int = 256):
+def verify(n: int = 20_000, res: int = 256, write_artifact: bool = True):
     """Compiled-Pallas vs XLA-blend parity on the real device."""
     import jax
     import jax.numpy as jnp
@@ -227,8 +249,9 @@ def verify(n: int = 20_000, res: int = 256):
     report["ok"] = bool(report["color_maxdiff"] < 1e-4
                         and report["depth_maxdiff"] < 1e-3 and grads_ok)
     print(json.dumps(report))
-    with open("VERIFY_TPU.json", "w") as f:
-        json.dump(report, f, indent=2)
+    if write_artifact:
+        with open("VERIFY_TPU.json", "w") as f:
+            json.dump(report, f, indent=2)
     return 0 if report["ok"] else 1
 
 

@@ -66,23 +66,27 @@ def make_variant(upto, grad_index=True):
         proj = project(a)
         if upto == 'proj':
             return consume(*proj)
+        opac_eff = jnp.where(proj.valid, a[4], 0.0)
+        attr_rows = None
+        if grad_index:
+            attr_rows = jnp.stack([
+                proj.mean2d[:, 0], proj.mean2d[:, 1], proj.conic[:, 0],
+                proj.conic[:, 1], proj.conic[:, 2], opac_eff, proj.depth,
+                a[3][:, 0], a[3][:, 1], a[3][:, 2]], 0)
         bins = tiles_lib.bin_splats(
             proj, W, H, TILE, PAIR_CAP, TILE_CAP,
-            opacities=jnp.where(proj.valid, a[4], 0.0),
+            opacities=opac_eff,
             packed_capacity=PACKED_CAP, grad_index=grad_index,
-            need_entries=False)
+            need_entries=False, attr_rows=attr_rows)
         gi = (bins.src_lane, bins.starts_by_id, bins.ends_by_id,
-              bins.perm, bins.pos) if grad_index else ()
+              bins.perm, bins.pos, bins.slab) if grad_index else ()
         if upto == 'bin':
+            # with grad_index this includes the kernel slab (production
+            # path: the pack stage no longer exists separately)
             return consume(proj.mean2d, bins.gauss_sorted, bins.tile_sorted,
                            bins.t_start, bins.counts, *gi)
         perm = bins.perm
-        data = pb.pack_splat_data_sorted(proj.mean2d, proj.conic,
-                                         proj.depth, a[3], a[4],
-                                         bins.gauss_sorted,
-                                         bins.t_start[perm], TILE_CAP)
-        if upto == 'pack':
-            return consume(data, *gi)
+        data = bins.slab
         fw = pb.blend_forward_pallas(data, bins.counts[perm], TILE, GX, GY,
                                      tid=perm)
         if upto == 'fwd':
@@ -150,7 +154,7 @@ def timeit(f, name, iters=6):
 
 
 if __name__ == '__main__':
-    which = sys.argv[1:] or ['proj', 'bin_nogi', 'bin', 'pack', 'fwd',
+    which = sys.argv[1:] or ['proj', 'bin_nogi', 'bin', 'fwd',
                              'bwd', 'fullfwd', 'full']
     for w in which:
         if w == 'full':

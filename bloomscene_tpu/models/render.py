@@ -60,7 +60,8 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
            visible: jnp.ndarray | None = None,
            mean2d_offset: jnp.ndarray | None = None,
            tile_capacity: int | None = None,
-           tile_sharding=None) -> RenderResult:
+           tile_sharding=None,
+           backend: str | None = None) -> RenderResult:
     """Render one view. ``mean2d_offset`` is a FLAT zeros [n_child*2]
     input whose gradient equals dL/dmean2d in pixel units — the functional
     analog of the reference's retain_grad screenspace_points
@@ -108,7 +109,7 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
         proj, dec.color, dec.opacity, bg,
         intr.width, intr.height, tile=cfg.tile_size,
         tile_capacity=tile_capacity or cfg.max_splats_per_tile,
-        tile_sharding=tile_sharding)
+        tile_sharding=tile_sharding, backend=backend)
     return RenderResult(out=out, dec=dec, rate=rate, proj=proj,
                         tile_overflow=bins.tile_overflow,
                         pair_overflow=bins.pair_overflow,

@@ -8,9 +8,11 @@ Layout (the crux): pixel-state arrays are [P, GT] with each tile's 256
 PIXELS on sublanes and GT=128 tiles of a tile-group on LANES. A splat step
 needs each tile's current splat attribute broadcast to its pixels — with
 tiles on lanes this is a natural [1, GT] -> [P, GT] sublane broadcast, no
-transposes anywhere. Splat data is packed [cap, DATA_W, T]: a dynamic
-index on the leading (untiled) dim yields the step's [DATA_W, GT]
-attribute rows.
+transposes anywhere. Splat data is packed [DATA_W, cap, T] (attr rows
+leading, so the slab is a plain reshape of the binning's expansion gather
+— no transpose, no pad rows): a dynamic index on the middle slot dim
+yields the step's [DATA_W, GT] attribute rows (a sublane-dynamic slice;
+measured cost-neutral vs the old leading-dim index on a v5e).
 
 Grid: (tile_groups, cap_chunks). TPU grids execute sequentially on the
 core, so the blend carries live in VMEM scratch that persists across the
@@ -21,7 +23,7 @@ to the group's actual occupancy (scalar-prefetched counts).
 
 Backward re-walks back-to-front (chunks iterated reversed via the index
 map) with the CUDA recurrence (backward.cu:477-585) extended with the
-depth/acc channels, writing per-entry gradients [cap, GRAD_W, T] that the
+depth/acc channels, writing per-entry gradients [GRAD_W, cap, T] that the
 wrapper reduces to per-Gaussian gradients with an emission-order
 lane-gather + MXU cumsum (see wrapper._bwd — no scatter, no segment-sum).
 """
@@ -44,28 +46,33 @@ BWD_CAP_CHUNK = 64   # smaller bwd chunks: the grad out block doubles the
                      # per-chunk VMEM footprint vs the fwd kernel
 BWD_UNROLL = 4       # fits the ~16MB VMEM scoped limit at cc=64
 INTERPRET = False    # set True to run kernels in interpreter mode (CPU)
-DATA_W = 16          # packed attrs: mx,my,ca,cb,cc,op,de,r,g,b,valid,pad*5
-GRAD_W = 16          # per-entry grads: dmx,dmy,dca,dcb,dcc,dop,dde,dr,dg,db
+DATA_W = 10          # packed attrs: mx,my,ca,cb,cc,op,de,r,g,b (leading
+                     # dim is untiled, so no pad rows are needed)
+GRAD_W = 10          # per-entry grads: dmx,dmy,dca,dcb,dcc,dop,dde,dr,dg,db
 
 
 def pack_splat_data_sorted(mean2d, conic, depth, color, opac,
                            gauss_sorted, t_start, cap: int) -> jnp.ndarray:
-    """Expand per-Gaussian attrs into the kernel's [cap, W, T] layout from
-    the depth-sorted PAIR list: two chained LANE gathers + one transpose.
+    """Expand per-Gaussian attrs into the kernel's [W, cap, T] layout from
+    the depth-sorted PAIR list: two chained LANE gathers.
 
-    slab[slot, :, tile] = attrs[gauss_sorted[t_start[tile] + slot]] — the
+    slab[:, slot, tile] = attrs[gauss_sorted[t_start[tile] + slot]] — the
     (slot, tile) -> sorted-pair-position grid is computed directly, so the
-    whole pack is one s32 gather (pair id), one [W, N] attribute gather
-    along lanes, and a [W, cap, T] -> [cap, W, T] transpose. Replaces the
-    earlier per-tile dynamic-slice loop, which lowered to a num_tiles-
-    iteration while loop (~1.6 ms/step at bench size vs ~0.3 ms for this).
+    whole pack is one s32 gather (pair id) and one [W, N] attribute gather
+    along lanes (output rows lead, so the reshape to [W, cap, T] is free).
+
+    NOTE: the production path skips this function entirely — bin_splats
+    builds TileBins.slab by riding the attribute rows through its per-pair
+    gather and tile sort (ops/tiles.py), which replaces this pack's id->
+    sorted gather with ~free sort payloads. This standalone pack remains
+    for direct kernel tests and fallback callers.
 
     Slots at/past a tile's count read PAST the tile's range: within-range
     overhang slots pick up the NEXT tile's pairs, slots beyond the packed
     pair list land in the appended zero tail. Both are safe: the kernels
     mask every entry by the tile's count before it can contribute (vld
     term), and the backward writes zero grads for masked rows. LAYOUT:
-    tables stay TRANSPOSED [W, n] (a [n, W] table with W=16 minor pads 8x
+    tables stay TRANSPOSED [W, n] (a [n, W] table with small W minor pads
     under (8,128) tiling)."""
     PC = gauss_sorted.shape[0]
     num_tiles = t_start.shape[0]
@@ -77,14 +84,12 @@ def pack_splat_data_sorted(mean2d, conic, depth, color, opac,
     # path measured ~100x slower). The zero tail keeps beyond-range slots
     # exact zeros without clamping.
     asT = jnp.concatenate([
-        jnp.pad(jnp.take(baseT, gauss_sorted, axis=1),
-                ((0, DATA_W - 10), (0, 0))),
+        jnp.take(baseT, gauss_sorted, axis=1),
         jnp.zeros((DATA_W, cap), jnp.float32)], 1)         # [W, PC+cap]
     slot = jnp.arange(cap, dtype=jnp.int32)
     pgrid = jnp.minimum(t_start, PC)[None, :] + slot[:, None]   # [cap, T]
-    out = jnp.take(asT, pgrid.reshape(-1),
-                   axis=1).reshape(DATA_W, cap, num_tiles)
-    return jnp.transpose(out, (1, 0, 2))                   # [cap, W, T]
+    return jnp.take(asT, pgrid.reshape(-1),
+                    axis=1).reshape(DATA_W, cap, num_tiles)
 
 
 def counts_rows(counts, num_tiles: int) -> jnp.ndarray:
@@ -174,7 +179,7 @@ def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
             # clamp: the last unrolled block may reach past cc when
             # cc % U != 0 (n_blocks rounds up); the (j < cc) term masks
             # the duplicate row out of the blend
-            row = data_ref[jnp.minimum(j, cc - 1)]      # [DATA_W, GT]
+            row = data_ref[:, jnp.minimum(j, cc - 1), :]   # [DATA_W, GT]
             (mx, my, ca, cb, ccn, op, de, cr, cg, cbl) = _split_row(row)
             vld = ((c * cc + j) < cnt) & (j < cc)  # entry lists front-packed
             dx = mx - px
@@ -224,14 +229,38 @@ def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
 
 
 def blend_forward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
-                         tid=None):
-    """splat_data [cap, DATA_W, T], counts [T] ->
+                         tid=None, mesh=None, axis=None):
+    """splat_data [DATA_W, cap, T], counts [T] ->
     (r, g, b, D, acc, final_T [f32], ncon [i32]), each [P, T].
 
     ``tid`` [T] int32 names the actual tile id each column represents
     (defaults to identity); columns may be any permutation — the wrapper
-    passes occupancy-sorted tiles for load-balanced groups."""
-    cap, _, num_tiles = splat_data.shape
+    passes occupancy-sorted tiles for load-balanced groups.
+
+    ``mesh``/``axis``: shard the tile/position axis over a device mesh —
+    each device runs the Mosaic kernels on its strip of tile columns
+    (shard_map; the sequence-parallel analog for splatting, SURVEY.md
+    section 5.7). Columns must be dealt round-robin by occupancy rank
+    (ops.tiles.bin_splats tile_shards) so per-device groups stay
+    load-balanced."""
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        if tid is None:
+            tid = jnp.arange(splat_data.shape[2], dtype=jnp.int32)
+        fn = shard_map(
+            functools.partial(_blend_forward_local, tile, gx, gy),
+            mesh=mesh,
+            in_specs=(P(None, None, axis), P(axis), P(axis)),
+            out_specs=tuple([P(None, axis)] * 7),
+            check_rep=False)
+        return fn(splat_data, counts, tid)
+    return _blend_forward_local(tile, gx, gy, splat_data, counts, tid)
+
+
+def _blend_forward_local(tile: int, gx: int, gy: int, splat_data, counts,
+                         tid):
+    _, cap, num_tiles = splat_data.shape
     P = tile * tile
     gt, n_groups, cc, n_chunks = _group_geometry(num_tiles, cap)
     gmax = jnp.max(counts.reshape(n_groups, gt), axis=1).astype(jnp.int32)
@@ -246,7 +275,7 @@ def blend_forward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
         num_scalar_prefetch=1,
         grid=(n_groups, n_chunks),
         in_specs=[
-            pl.BlockSpec((cc, DATA_W, gt), lambda g, c, s: (c, 0, g),
+            pl.BlockSpec((DATA_W, cc, gt), lambda g, c, s: (0, c, g),
                          memory_space=pltpu.VMEM),
             meta_spec,
             meta_spec,
@@ -315,8 +344,8 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
             # clamp as in the forward kernel: the top unrolled block may
             # reach past cc when cc % U != 0; masked rows produce all-zero
             # grads and (iterating u DESCENDING below) their clamped
-            # grad_ref[cc-1] writes land before the real row's write
-            row = data_ref[jnp.minimum(j, cc - 1)]
+            # grad_ref[:, cc-1, :] writes land before the real row's write
+            row = data_ref[:, jnp.minimum(j, cc - 1), :]
             (mx, my, ca, cb, ccn, op, de, cr, cg, cbl) = _split_row(row)
             vld = ((chunk * cc + j) < cnt) & (j < cc)
             dx = mx - px
@@ -373,9 +402,8 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
                 red(w * ur),                                # d r
                 red(w * ug),                                # d g
                 red(w * ub),                                # d b
-                jnp.zeros((GRAD_W - 10, gt), jnp.float32),
             ], axis=0)                                      # [GRAD_W, GT]
-            grad_ref[jc] = out
+            grad_ref[:, jc, :] = out
 
             la = jnp.where(blended, alpha, la)
             lr = jnp.where(blended, cr + 0 * lr, lr)
@@ -403,15 +431,40 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
 
 def blend_backward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
                           final_T, ncon, u_r, u_g, u_b, u_d, u_one,
-                          bg_term, tid=None):
+                          bg_term, tid=None, mesh=None, axis=None):
     """All pixel-state inputs [P, T]; returns per-entry gradients
-    [cap, GRAD_W, T] (same layout as splat_data).
+    [GRAD_W, cap, T] (same layout as splat_data).
 
     The back-to-front walk per group is bounded by the LAST CONTRIBUTING
     entry (max ncon over the group's pixels), not the raw splat count —
     entries behind full saturation never blended, their grads are zero
-    (grad blocks are zeroed unconditionally)."""
-    cap, _, num_tiles = splat_data.shape
+    (grad blocks are zeroed unconditionally).
+
+    ``mesh``/``axis``: shard the tile/position axis (see
+    blend_forward_pallas)."""
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P_
+        if tid is None:
+            tid = jnp.arange(splat_data.shape[2], dtype=jnp.int32)
+        fn = shard_map(
+            functools.partial(_blend_backward_local, tile, gx, gy),
+            mesh=mesh,
+            in_specs=(P_(None, None, axis),) + (P_(axis),) * 2
+            + (P_(None, axis),) * 8,
+            out_specs=P_(None, None, axis),
+            check_rep=False)
+        return fn(splat_data, counts, tid, final_T, ncon, u_r, u_g, u_b,
+                  u_d, u_one, bg_term)
+    return _blend_backward_local(tile, gx, gy, splat_data, counts, tid,
+                                 final_T, ncon, u_r, u_g, u_b, u_d, u_one,
+                                 bg_term)
+
+
+def _blend_backward_local(tile: int, gx: int, gy: int, splat_data, counts,
+                          tid, final_T, ncon, u_r, u_g, u_b, u_d, u_one,
+                          bg_term):
+    _, cap, num_tiles = splat_data.shape
     P = tile * tile
     gt, n_groups, cc, n_chunks = _group_geometry(num_tiles, cap,
                                                  BWD_CAP_CHUNK)
@@ -424,12 +477,12 @@ def blend_backward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
                        memory_space=pltpu.VMEM)
     meta = pl.BlockSpec((8, gt), lambda g, c, s: (0, g),
                         memory_space=pltpu.VMEM)
-    rev = lambda g, c, s: (n_chunks - 1 - c, 0, g)
+    rev = lambda g, c, s: (0, n_chunks - 1 - c, g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups, n_chunks),
         in_specs=[
-            pl.BlockSpec((cc, DATA_W, gt), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((DATA_W, cc, gt), rev, memory_space=pltpu.VMEM),
             meta,                                    # counts rows
             meta,                                    # tile-id rows (i32)
             vec,                                     # final_T
@@ -438,14 +491,14 @@ def blend_backward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
             vec, vec, vec, vec, vec,                 # u_r..u_one
             vec,                                     # bg_term
         ],
-        out_specs=[pl.BlockSpec((cc, GRAD_W, gt), rev,
+        out_specs=[pl.BlockSpec((GRAD_W, cc, gt), rev,
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((P, gt), jnp.float32)] * 11,
     )
     (grad,) = pl.pallas_call(
         functools.partial(_bwd_kernel, tile, gx, cc),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((cap, GRAD_W, num_tiles),
+        out_shape=[jax.ShapeDtypeStruct((GRAD_W, cap, num_tiles),
                                         jnp.float32)],
         interpret=INTERPRET,
     )(gmax, splat_data, counts_rows(counts, num_tiles),

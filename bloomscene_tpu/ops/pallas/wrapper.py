@@ -38,22 +38,37 @@ def _occupancy_perm(counts):
     return perm, pos
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def tile_blend_pallas(tile, gx, gy, W, H, cap, mean2d, conic, depth, color,
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def tile_blend_pallas(tile, gx, gy, W, H, cap, mesh, axis,
+                      mean2d, conic, depth, color,
                       opac, bg, gauss_sorted, t_start, counts, perm, pos,
-                      src_lane=None, starts_by_id=None, ends_by_id=None):
-    out, _ = _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color,
-                       opac, bg, gauss_sorted, t_start, counts, perm, pos)
+                      src_lane=None, starts_by_id=None, ends_by_id=None,
+                      slab=None):
+    """``mesh``/``axis`` (static; None for single-device): shard the tile
+    position axis of the Mosaic kernels over the mesh via shard_map."""
+    out, _ = _fwd_impl(tile, gx, gy, W, H, cap, mesh, axis, mean2d, conic,
+                       depth, color, opac, bg, gauss_sorted, t_start,
+                       counts, perm, pos, slab)
     return out
 
 
-def _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac,
-              bg, gauss_sorted, t_start, counts, perm, pos):
+def _fwd_impl(tile, gx, gy, W, H, cap, mesh, axis, mean2d, conic, depth,
+              color, opac, bg, gauss_sorted, t_start, counts, perm, pos,
+              slab=None):
     counts_p = counts[perm]
-    data = pb.pack_splat_data_sorted(mean2d, conic, depth, color, opac,
-                                     gauss_sorted, t_start[perm], cap)
+    if slab is not None:
+        # kernel slab prebuilt by bin_splats (attributes rode the binning
+        # gather/sort — see ops/tiles.py). Its VALUES equal the pack of
+        # the stop-gradient attrs; gradients to mean2d/conic/... are
+        # defined analytically by _bwd, so the primal never needs the
+        # differentiable tensors' values.
+        data = slab
+    else:
+        data = pb.pack_splat_data_sorted(mean2d, conic, depth, color, opac,
+                                         gauss_sorted, t_start[perm], cap)
     r, g, b, D, acc, Tf, ncon = pb.blend_forward_pallas(
-        data, counts_p, tile, gx, gy, tid=perm)
+        data, counts_p, tile, gx, gy, tid=perm, mesh=mesh, axis=axis)
     # outputs are in position space; column for tile t is pos[t].
     # Batched: ONE lane-permutation gather + ONE tiling transpose for all
     # six planes (mirrors the batched cotangent transform in _bwd).
@@ -69,19 +84,19 @@ def _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac,
     return out, (data, counts_p, perm, Tf, acc, D, ncon)
 
 
-def _fwd(tile, gx, gy, W, H, cap, mean2d, conic, depth, color, opac, bg,
-         gauss_sorted, t_start, counts, perm, pos, src_lane=None,
-         starts_by_id=None, ends_by_id=None):
-    out, res = _fwd_impl(tile, gx, gy, W, H, cap, mean2d, conic, depth,
-                         color, opac, bg, gauss_sorted, t_start, counts,
-                         perm, pos)
+def _fwd(tile, gx, gy, W, H, cap, mesh, axis, mean2d, conic, depth, color,
+         opac, bg, gauss_sorted, t_start, counts, perm, pos, src_lane=None,
+         starts_by_id=None, ends_by_id=None, slab=None):
+    out, res = _fwd_impl(tile, gx, gy, W, H, cap, mesh, axis, mean2d,
+                         conic, depth, color, opac, bg, gauss_sorted,
+                         t_start, counts, perm, pos, slab)
     return out, (res, bg, gauss_sorted.shape[0], src_lane, starts_by_id,
-                 ends_by_id)
+                 ends_by_id, None if slab is None else slab.shape)
 
 
-def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
+def _bwd(tile, gx, gy, W, H, cap, mesh, axis, saved, gout: RenderOutput):
     ((data, counts_p, perm, Tf, acc, D, ncon), bg, n_sorted, src_lane,
-     starts_by_id, ends_by_id) = saved
+     starts_by_id, ends_by_id, slab_shape) = saved
     if src_lane is None or starts_by_id is None or ends_by_id is None:
         raise ValueError(
             "tile_blend_pallas gradients require the grad-index arrays "
@@ -110,7 +125,7 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
 
     grad = pb.blend_backward_pallas(
         data, counts_p, tile, gx, gy, Tf, ncon, g_r, g_g, g_b, u_d, u_one,
-        bg_term, tid=perm)                      # [cap, GRAD_W, T_pos]
+        bg_term, tid=perm, mesh=mesh, axis=axis)  # [GRAD_W, cap, T_pos]
 
     # reduce per-entry grads to per-gaussian, scatter-free, in EMISSION
     # ("rank-major") order where each Gaussian's pairs are CONTIGUOUS:
@@ -128,16 +143,15 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
     # ~1.6e-4 relative to typical gradient scale) — well under minibatch
     # noise and the on-device verify gate; segment order is unspecified
     # for segment_sum too.
-    W_ = 10                      # only the 10 live grad channels move;
-                                 # GRAD_W-10 pad rows stay in the kernel buf
+    W_ = pb.GRAD_W               # 10 live grad channels, rows leading —
+                                 # the reshape below is free (no transpose)
     T_pos = counts_p.shape[0]
     from ..tiles import cumsum_lanes
     PC = src_lane.shape[0]
     # source rows: [10, cap*T + 128]; the trailing zero block is the
     # dump lane for culled / truncated / over-capacity pairs
     src = jnp.concatenate([
-        jnp.transpose(grad[:, :W_, :], (1, 0, 2)).reshape(
-            W_, cap * T_pos),
+        grad.reshape(W_, cap * T_pos),
         jnp.zeros((W_, 128), jnp.float32)], axis=1)
     pgT = jnp.take(src, jnp.minimum(src_lane, cap * T_pos), axis=1)
     C = cumsum_lanes(pgT)                                   # inclusive
@@ -161,10 +175,16 @@ def _bwd(tile, gx, gy, W, H, cap, saved, gout: RenderOutput):
 
     zero = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
     zlike = lambda a: None if a is None else zero(jnp.shape(a))
+    # slab is a stop-gradient VALUE input (bin_splats output); its zero
+    # cotangent is discarded at trace time (nothing upstream of it
+    # depends on a differentiated input)
+    slab_ct = (None if slab_shape is None
+               else jnp.zeros(slab_shape, jnp.float32))
     return (d_mean2d, d_conic, d_depth, d_color, d_opac, d_bg,
             zero((n_sorted,)), zero(counts_p.shape), zero(counts_p.shape),
             zero(counts_p.shape), zero(counts_p.shape),
-            zlike(src_lane), zlike(starts_by_id), zlike(ends_by_id))
+            zlike(src_lane), zlike(starts_by_id), zlike(ends_by_id),
+            slab_ct)
 
 
 tile_blend_pallas.defvjp(_fwd, _bwd)

@@ -336,9 +336,11 @@ def rasterize_tiles(proj: ProjectedSplats,
     pair_capacity (always safe).
 
     ``tile_sharding``: optional NamedSharding whose leading axis shards the
-    tile grid over a mesh axis — XLA then partitions the blend scan and
-    inserts the splat all-gathers over ICI (the sequence-parallel analog
-    for splatting; SURVEY.md section 2.5).
+    tile grid over a mesh axis (the sequence-parallel analog for
+    splatting; SURVEY.md section 2.5). With backend='xla' GSPMD partitions
+    the blend scan; with backend='pallas' the Mosaic kernels run per-device
+    via shard_map over round-robin-dealt tile positions (ops/pallas/blend),
+    falling back to the XLA blend when the grid doesn't divide the axis.
     """
     n = proj.mean2d.shape[0]
     gx, gy = (-(-W // tile), -(-H // tile))
@@ -353,15 +355,41 @@ def rasterize_tiles(proj: ProjectedSplats,
         pair_capacity = max(1024, min(want, limit))
     if backend is None:
         backend = 'pallas' if _on_tpu() else 'xla'
-    pallas_path = backend == 'pallas' and tile_sharding is None
+    mesh = axis = None
+    tile_shards = 1
+    if backend == 'pallas' and tile_sharding is not None:
+        # shard_map the Mosaic kernels over the tile/position axis: each
+        # device blends its strip of (round-robin-dealt) tile columns
+        # (SURVEY.md section 5.7 — the sequence-parallel analog). Falls
+        # back to the XLA blend when the grid doesn't divide the axis.
+        m = tile_sharding.mesh
+        ax = tile_sharding.spec[0] if len(tile_sharding.spec) else None
+        n_sh = m.shape[ax] if ax is not None else 1
+        if ax is not None and n_sh > 1 and (gx * gy) % n_sh == 0:
+            mesh, axis, tile_shards = m, ax, n_sh
+        elif ax is not None and n_sh > 1:
+            backend = 'xla'
+    pallas_path = backend == 'pallas'
+    opac_sg = lax.stop_gradient(jnp.where(proj.valid, opacities, 0.0))
+    attr_rows = None
+    if pallas_path and n > 0:
+        # blend-attribute VALUES ride the binning gather/sort into the
+        # kernel slab (TileBins.slab) — stop-gradient; the custom_vjp
+        # defines gradients to the real tensors analytically
+        p_sg = lax.stop_gradient(proj)
+        attr_rows = jnp.stack([
+            p_sg.mean2d[:, 0], p_sg.mean2d[:, 1], p_sg.conic[:, 0],
+            p_sg.conic[:, 1], p_sg.conic[:, 2], opac_sg,
+            p_sg.depth, *(lax.stop_gradient(colors[:, i])
+                          for i in range(3))], 0)         # [10, N]
     bins = bin_splats(
         ProjectedSplats(*(lax.stop_gradient(x) for x in proj)),
         W, H, tile, pair_capacity, tile_capacity,
-        opacities=lax.stop_gradient(
-            jnp.where(proj.valid, opacities, 0.0)),
+        opacities=opac_sg,
         packed_capacity=packed_capacity,
-        grad_index=pallas_path, need_entries=not pallas_path)
-    if tile_sharding is not None:
+        grad_index=pallas_path, need_entries=not pallas_path,
+        attr_rows=attr_rows, tile_shards=tile_shards)
+    if tile_sharding is not None and bins.entries is not None:
         bins = bins._replace(
             entries=lax.with_sharding_constraint(bins.entries, tile_sharding),
             entry_mask=lax.with_sharding_constraint(bins.entry_mask,
@@ -379,20 +407,16 @@ def rasterize_tiles(proj: ProjectedSplats,
         return out, bins
     # neutralize contributions of invalid splats (mirrors radius-0 cull)
     opac_eff = jnp.where(proj.valid, opacities, 0.0)
-    if tile_sharding is not None and backend == 'pallas':
-        # the Mosaic kernels are single-device programs; under a tile-
-        # sharded mesh the XLA-scan blend partitions cleanly via GSPMD
-        # (per-tile arrays split on the tile axis). A shard_mapped Pallas
-        # path needs real multi-chip hardware to validate — revisit then.
-        backend = 'xla'
     if backend == 'pallas':
         from .pallas.wrapper import tile_blend_pallas
         out = tile_blend_pallas(tile, gx, gy, W, H, tile_capacity,
+                                mesh, axis,
                                 proj.mean2d, proj.conic, proj.depth,
                                 colors, opac_eff, bg, bins.gauss_sorted,
                                 bins.t_start, bins.counts, bins.perm,
                                 bins.pos, bins.src_lane,
-                                bins.starts_by_id, bins.ends_by_id)
+                                bins.starts_by_id, bins.ends_by_id,
+                                bins.slab)
     else:
         out = tile_blend(tile, gx, gy, W, H, proj.mean2d, proj.conic,
                          proj.depth, colors, opac_eff, bg, bins.entries,

@@ -66,6 +66,12 @@ class TileBins(NamedTuple):
     # occupancy sort of the tile grid (kernel load balance; grad_index=True)
     perm: jnp.ndarray | None = None          # [T] position -> tile id
     pos: jnp.ndarray | None = None           # [T] tile id -> position
+    # kernel-ready splat slab (attr_rows given + grad_index):
+    # [10, tile_capacity, T] f32 in POSITION space — slab[:, s, p] is the
+    # s-th nearest splat of the tile at occupancy-sorted position p.
+    # Built here (not in the blend wrapper) so the whole pair pipeline
+    # lives in one place and the expansion can exploit binning internals.
+    slab: jnp.ndarray | None = None
 
 
 def tile_grid(W: int, H: int, tile: int) -> tuple[int, int]:
@@ -215,7 +221,9 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
                opacities: jnp.ndarray | None = None,
                packed_capacity: int | None = None,
                grad_index: bool = False,
-               need_entries: bool = True) -> TileBins:
+               need_entries: bool = True,
+               attr_rows: jnp.ndarray | None = None,
+               tile_shards: int = 1) -> TileBins:
     """Build per-tile depth-sorted splat lists (static shapes throughout).
 
     ``opacities`` (optional, [N], stop-gradient values) enables the
@@ -234,6 +242,14 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     sorted pair list (gauss_sorted/tile_sorted and the per-tile slabs).
     Culled pairs sort to the tail, so a snug packed buffer skips them;
     survivors beyond it are dropped and reported in ``packed_overflow``.
+
+    ``attr_rows`` ([10, N] f32, stop-gradient VALUES in original-id order:
+    mean2d_x, mean2d_y, conic_a, conic_b, conic_c, opacity, depth, r, g, b)
+    enables kernel-slab construction (requires ``opacities`` and
+    ``grad_index``): the returned ``TileBins.slab`` [10, tile_capacity, T]
+    is the Pallas blend kernels' direct input (rows leading — no
+    transpose, no pad rows), built by an id->sorted gather plus one
+    expansion gather.
     """
     gx, gy = tile_grid(W, H, tile)
     num_tiles = gx * gy
@@ -306,6 +322,7 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     # [n]-sized re-key to rank order replaces a second full-P gather —
     # gather cost is dominated by index processing, not extra rows.
     atab_s = None
+    n_att = 0 if attr_rows is None else attr_rows.shape[0]
     if opacities is not None:
         atab = jnp.stack([
             proj.mean2d[:, 0], proj.mean2d[:, 1], proj.conic[:, 0],
@@ -317,20 +334,20 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         tab = jnp.stack([starts, packed_s, order], 0)
         if atab_s is not None:
             tab = jnp.concatenate([tab, atab_s], 0)
-        pgT = jnp.take(tab, rank_c, axis=1)             # [3(+6), P]
+        pgT = jnp.take(tab, rank_c, axis=1)             # [3(+R), P]
         gauss_o = pgT[2]
         p_x0 = pgT[1] >> 18
         p_y0 = (pgT[1] >> 9) & 511
         p_w = pgT[1] & 511
-        av = pgT[3:9]
+        av = pgT[3:]
     else:
         tab = jnp.stack([starts, x0_s, y0_s, w_s, order], 0)
         if atab_s is not None:
             tab = jnp.concatenate([tab, atab_s], 0)
-        pgT = jnp.take(tab, rank_c, axis=1)             # [5(+6), P]
+        pgT = jnp.take(tab, rank_c, axis=1)             # [5(+R), P]
         gauss_o = pgT[4]
         p_x0, p_y0, p_w = pgT[1], pgT[2], pgT[3]
-        av = pgT[5:11]
+        av = pgT[5:]
 
     k = jnp.arange(pair_capacity, dtype=jnp.int32)
     local = k - pgT[0]
@@ -351,9 +368,9 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         # pixel box [tx*tile, tx*tile+tile-1] x [ty*tile, ...] vs the
         # contribution threshold ln(255 * opacity). Splat attrs arrived
         # as extra rows of the pg gather (av, bitcast back to f32).
-        av = lax.bitcast_convert_type(av, jnp.float32)
-        mx, my, ca, cb, cc, ln_t = (av[0], av[1], av[2], av[3], av[4],
-                                    av[5])
+        avf = lax.bitcast_convert_type(av, jnp.float32)
+        mx, my, ca, cb, cc, ln_t = (avf[0], avf[1], avf[2], avf[3],
+                                    avf[4], avf[5])
         ftile = jnp.float32(tile)
         lox = tx.astype(jnp.float32) * ftile - mx
         hix = lox + (ftile - 1.0)
@@ -387,7 +404,12 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     # come out front-to-back. Culled pairs carry tile_id == num_tiles and
     # sort to the tail, past packed_capacity.
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    src_lane = starts_by_id = ends_by_id = perm = pos = None
+    src_lane = starts_by_id = ends_by_id = perm = pos = slab = None
+    # NOTE: slab attribute values deliberately do NOT ride the tile sort
+    # as payload operands — measured +4.6 ms/step for 10 extra operands
+    # at bench size (221K pairs), far worse than the post-sort gather
+    # below (sort payload cost is NOT the per-operand ~0.1 ms a
+    # standalone measurement suggests once in the full-step context).
     kbits = max(1, pair_capacity - 1).bit_length()
     if kbits < 31 and (num_tiles + 1) < (1 << (31 - kbits)):
         # UNIQUE single-key sort (tile << kbits | emission slot): the
@@ -414,8 +436,8 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         # LEXICOGRAPHICALLY on two unique int keys — the exact same
         # deterministic order as the packed key, at any size, and the
         # emission slot column keeps grad_index available.
-        tile_full, eslot_s, gauss_sf = lax.sort((tile_id, k, gauss_o),
-                                                num_keys=2, is_stable=False)
+        tile_full, eslot_s, gauss_sf = lax.sort(
+            (tile_id, k, gauss_o), num_keys=2, is_stable=False)
         tile_s = tile_full[:packed_capacity]
         gauss_s = gauss_sf[:packed_capacity]
         # tile ranges: 1K binary searches over the sorted pair list
@@ -429,6 +451,14 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         # similar splat count; the blend wrapper consumes perm/pos)
         counts_cl = jnp.minimum(t_end - t_start, tile_capacity)
         _, perm = lax.sort((-counts_cl, tids), num_keys=1, is_stable=True)
+        if tile_shards > 1 and num_tiles % tile_shards == 0:
+            # deal occupancy ranks round-robin over the shards: position
+            # q on shard d = q // L holds rank (q % L) * S + d, so every
+            # shard gets an equal share of heavy tiles AND stays
+            # internally occupancy-sorted (balanced kernel groups)
+            L = num_tiles // tile_shards
+            rank_of_pos = (tids % L) * tile_shards + tids // L
+            perm = perm[rank_of_pos]
         pos = jnp.zeros((num_tiles,), jnp.int32).at[perm].set(
             tids, unique_indices=True)
         # gradient-reduction gather index, built IN SORTED ORDER where
@@ -453,6 +483,21 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         # permutation re-keys both range arrays from rank to id order.
         _, starts_by_id, ends_by_id = lax.sort(
             (order, starts, offsets), num_keys=1, is_stable=False)
+        if n_att:
+            # kernel slab [10, tile_capacity, T] in position space:
+            # id->sorted attribute gather (packed_capacity indices; rows
+            # ride free) + the Pallas slab expansion (per-tile contiguous
+            # DMA runs + MXU transpose; ~6x the equivalent XLA gather —
+            # ops/pallas/expand.py). Leading-dim rows => the blend
+            # kernels index the middle slot dim; no transpose, no pad
+            # rows. The zero tail keeps beyond-range slots exact zeros.
+            from .pallas.expand import expand_slab
+            attrs_sT = jnp.take(attr_rows, gauss_s, axis=1)   # [10, PCp]
+            asT = jnp.concatenate(
+                [attrs_sT, jnp.zeros((n_att, tile_capacity), jnp.float32)],
+                axis=1)
+            slab = expand_slab(asT, t_start[perm], tile_capacity,
+                               num_tiles)
 
     # fixed-capacity per-tile lists: tile ranges are CONTIGUOUS in the
     # sorted pair list, so use vmapped dynamic slices (a 1M-element random
@@ -485,4 +530,4 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
                     num_packed=num_packed.astype(jnp.int32),
                     packed_overflow=packed_overflow.astype(jnp.int32),
                     src_lane=src_lane, starts_by_id=starts_by_id,
-                    ends_by_id=ends_by_id, perm=perm, pos=pos)
+                    ends_by_id=ends_by_id, perm=perm, pos=pos, slab=slab)

@@ -3,11 +3,13 @@
 Two first-class SPMD strategies (absent from the single-GPU reference;
 SURVEY.md section 2.5 maps the analogies):
 
-1. **Data parallel** (``make_dp_train_step``): a batch of cameras is
-   sharded over the ``data`` axis; the model/optimizer are replicated; the
-   per-view losses are averaged, so XLA all-reduces parameter gradients
-   across the mesh. This is the full training step — decode, rasterize
-   (fwd+bwd), rate loss, optax update — under one pjit.
+1. **Data parallel** (``make_dp_train_step``, implemented in train.loop
+   and re-exported here; ``Trainer(mesh=..., dp_batch=...)`` drives it):
+   a batch of cameras is sharded over the ``data`` axis; the
+   model/optimizer are replicated; the per-view losses are averaged, so
+   XLA all-reduces parameter gradients across the mesh. This is the FULL
+   training step — decode, rasterize (fwd+bwd), rate loss, optax update,
+   densification statistics, metrics, NaN guard — under one pjit.
 
 2. **Tile parallel** (``make_tile_parallel_render``): one view, the tile
    grid of the blend sharded over the ``tile`` axis — each device blends
@@ -34,43 +36,10 @@ from ..train.loop import compute_losses
 from .mesh import data_sharded, replicated
 
 
-def make_dp_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
-                       bg, mesh: Mesh, *, phase: int = 0):
-    """jit(step)(model, opt_state, cam_batch, gt_images, gt_depths, keys)
-    with cam/gt batches sharded over the mesh 'data' axis."""
-
-    def per_view_loss(model: Model, cam: CameraArrays, gt_image, gt_depth,
-                      key):
-        visible = prefilter_anchors(model, intr, cam)
-        res = render(model, intr, cam, cfg, phase=phase, mode='train',
-                     key=key, bg=bg, visible=visible)
-        loss, aux = compute_losses(res, gt_image, gt_depth, cfg)
-        return loss
-
-    def step(model, opt_state, cams: CameraArrays, gt_images, gt_depths,
-             keys):
-        def batch_loss(m):
-            losses = jax.vmap(per_view_loss, in_axes=(None, 0, 0, 0, 0))(
-                m, cams, gt_images, gt_depths, keys)
-            return jnp.mean(losses)
-
-        loss, grads = jax.value_and_grad(batch_loss, allow_int=True)(model)
-        grads = jax.tree.map(
-            lambda p, g: (jnp.zeros_like(p)
-                          if not jnp.issubdtype(p.dtype, jnp.floating)
-                          else g), model, grads)
-        updates, opt_state = optimizer.update(grads, opt_state, model)
-        model = jax.tree.map(
-            lambda p, u: p + u if jnp.issubdtype(p.dtype, jnp.floating)
-            else p, model, updates)
-        return model, opt_state, loss
-
-    rep = replicated(mesh)
-    dat = data_sharded(mesh)
-    return jax.jit(
-        step,
-        in_shardings=(rep, rep, dat, dat, dat, dat),
-        out_shardings=(rep, rep, rep))
+# The PRODUCTION data-parallel step lives in train.loop (it is the full
+# Trainer step — densify stats, metrics, NaN guard — not a demo); it is
+# re-exported here so the parallel API surface stays in one module.
+from ..train.loop import make_dp_train_step  # noqa: F401  (re-export)
 
 
 def make_tile_parallel_render(cfg: GSConfig, intr: Intrinsics, mesh: Mesh,

@@ -168,6 +168,127 @@ def _step_core(cfg: GSConfig, intr: Intrinsics, optimizer, bg,
     return model, opt_state, stats, metrics
 
 
+def make_dp_train_step(cfg: GSConfig, intr: Intrinsics, optimizer,
+                       bg: jnp.ndarray, mesh=None):
+    """Data-parallel FULL training step: a batch of B views per step,
+    loss = mean over views, gradients all-reduced by XLA from the
+    sharding annotations; densification statistics accumulate for every
+    view in the batch (grad norms rescaled by B so they match B
+    consecutive single-view steps of the reference's training_statis,
+    gaussian_model.py:742-759).
+
+    Returns jit(step)(model, opt_state, stats, cams_stacked, gt_images,
+    gt_depths, idx, keys, phase=<static>, track_stats=<static>)
+    -> (model, opt_state, stats, StepMetrics) where ``idx`` [B] selects
+    the batch views from the stacked camera/GT arrays and is sharded over
+    the mesh 'data' axis (the gathered batch inherits the sharding).
+    With mesh=None the same step runs unsharded — the single-device
+    semantic twin used by the curve-equality tests.
+    """
+
+    def step(model: Model, opt_state, stats: DensifyStats,
+             cams_stacked: CameraArrays, gt_images, gt_depths, idx, keys,
+             phase: int, track_stats: bool):
+        B = idx.shape[0]
+        cams_b = jax.tree.map(lambda x: x[idx], cams_stacked)
+        gts_b = gt_images[idx]
+        deps_b = gt_depths[idx]
+
+        n_anch = model.state.capacity
+        if (cfg.visible_capacity is not None
+                and n_anch > cfg.visible_capacity):
+            n_anch = cfg.visible_capacity
+        n_child = n_anch * model.state.n_offsets
+
+        visibles = jax.vmap(
+            lambda c: prefilter_anchors(model, intr, c))(cams_b)
+
+        def view_loss(m, m2d, cam, gt_i, gt_d, key, visible):
+            def render_fn(mm, mo):
+                return render(mm, intr, cam, cfg, phase=phase,
+                              mode='train', key=key, bg=bg,
+                              visible=visible, mean2d_offset=mo)
+            if cfg.remat:
+                render_fn = jax.checkpoint(render_fn)
+            res = render_fn(m, m2d)
+            loss, aux = compute_losses(res, gt_i, gt_d, cfg)
+            return loss, (res, aux)
+
+        def batch_loss(m, m2d_b):
+            losses, (res_b, aux_b) = jax.vmap(
+                view_loss, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                m, m2d_b, cams_b, gts_b, deps_b, keys, visibles)
+            return jnp.mean(losses), (res_b, aux_b)
+
+        m2d0 = jnp.zeros((B, n_child * 2))
+        (loss, (res_b, aux_b)), (g_model, g_m2d) = jax.value_and_grad(
+            batch_loss, argnums=(0, 1), has_aux=True, allow_int=True)(
+                model, m2d0)
+
+        g_model = jax.tree.map(
+            lambda p, g: (jnp.zeros_like(p)
+                          if not jnp.issubdtype(p.dtype, jnp.floating)
+                          else g), model, g_model)
+        gsum = sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(g_model)
+                   if jnp.issubdtype(g.dtype, jnp.floating))
+        ok = jnp.isfinite(loss) & jnp.isfinite(gsum)
+        g_model = jax.tree.map(
+            lambda g: (jnp.where(ok, g, jnp.zeros_like(g))
+                       if jnp.issubdtype(g.dtype, jnp.floating) else g),
+            g_model)
+        updates, opt_state = optimizer.update(g_model, opt_state, model)
+        model = jax.tree.map(
+            lambda p, u: p + u if jnp.issubdtype(p.dtype, jnp.floating)
+            else p, model, updates)
+
+        if track_stats:
+            # accumulate every view; d(mean loss)/dm2d = (1/B) dL_b/dm2d,
+            # so rescale by B to match B single-view reference steps
+            def acc_body(b, stats):
+                vidx = (None if res_b.visible_idx is None
+                        else res_b.visible_idx[b])
+                return densify.accumulate_stats(
+                    stats, res_b.dec.neural_opacity[b], res_b.dec.valid[b],
+                    jax.lax.stop_gradient(res_b.proj.valid[b]),
+                    visibles[b], g_m2d[b] * B, intr.width, intr.height,
+                    anchor_idx=vidx)
+            stats = jax.lax.fori_loop(0, B, acc_body, stats)
+
+        mean = lambda x: jnp.mean(x)
+        metrics = StepMetrics(
+            loss=loss, loss_rgb=mean(aux_b['loss_rgb']),
+            loss_dep_value=mean(aux_b['loss_dep_value']),
+            loss_dep_domin=mean(aux_b['loss_dep_domin']),
+            loss_dep_smooth=mean(aux_b['loss_dep_smooth']),
+            bit_per_param=mean(res_b.rate.bit_per_param),
+            psnr=mean(aux_b['psnr']),
+            n_visible_anchors=mean(jnp.sum(visibles, axis=1)),
+            tile_overflow=jnp.max(res_b.tile_overflow),
+            pair_overflow=jnp.max(res_b.pair_overflow),
+            packed_overflow=jnp.max(res_b.packed_overflow))
+        return model, opt_state, stats, metrics
+
+    # phase/track_stats are POSITIONAL statics: pjit rejects kwargs when
+    # in_shardings is given, so both variants share the positional form
+    if mesh is None:
+        jitted = jax.jit(step, static_argnums=(8, 9))
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        dat = NamedSharding(mesh, P('data'))
+        jitted = jax.jit(
+            step, static_argnums=(8, 9),
+            in_shardings=(rep, rep, rep, rep, rep, rep, dat, dat),
+            out_shardings=(rep, rep, rep, rep))
+
+    def call(model, opt_state, stats, cams_stacked, gt_images, gt_depths,
+             idx, keys, *, phase: int, track_stats: bool):
+        return jitted(model, opt_state, stats, cams_stacked, gt_images,
+                      gt_depths, idx, keys, phase, track_stats)
+
+    return call
+
+
 def make_train_scan(cfg: GSConfig, intr: Intrinsics, optimizer,
                     bg: jnp.ndarray):
     """Device-loop trainer: run ``n_steps`` SGD steps in ONE dispatch via
@@ -215,7 +336,13 @@ class Trainer:
     def __init__(self, model: Model, cfg: GSConfig, intr: Intrinsics,
                  voxel_size: float, spatial_lr_scale: float = 1.0,
                  bg: np.ndarray | None = None, seed: int = 0,
-                 logger=None):
+                 logger=None, mesh=None, dp_batch: int | None = None):
+        """``mesh`` (optional jax Mesh with a 'data' axis) + ``dp_batch``
+        turn every training step into a data-parallel batch of views:
+        the camera batch is sharded over the mesh, the model/optimizer
+        replicated, gradients all-reduced by XLA (SURVEY.md section 2.5).
+        ``dp_batch`` alone (mesh=None) runs the same batched step on one
+        device — the semantic twin used to validate the sharded curve."""
         self.cfg = cfg
         self.intr = intr
         self.voxel_size = voxel_size
@@ -227,7 +354,20 @@ class Trainer:
                              (np.ones(3) if cfg.white_background
                               else np.zeros(3)), jnp.float32)
         self.bg = bg_arr
-        self.step_fn = make_train_step(cfg, intr, self.optimizer, bg_arr)
+        self.mesh = mesh
+        self.dp_batch = dp_batch or (
+            int(mesh.shape['data']) if mesh is not None else None)
+        if mesh is not None and self.dp_batch % int(mesh.shape['data']):
+            raise ValueError(
+                f"dp_batch={self.dp_batch} must be divisible by the "
+                f"mesh 'data' axis size {int(mesh.shape['data'])}")
+        if self.dp_batch:
+            self.step_fn = None
+            self.dp_step_fn = make_dp_train_step(cfg, intr, self.optimizer,
+                                                 bg_arr, mesh=mesh)
+        else:
+            self.step_fn = make_train_step(cfg, intr, self.optimizer,
+                                           bg_arr)
         self.key = jax.random.PRNGKey(seed)
         self.np_rng = np.random.default_rng(seed)
         self.history: list[dict] = []
@@ -287,6 +427,8 @@ class Trainer:
         """
         cfg = self.cfg
         iterations = iterations or cfg.iterations
+        if self.dp_batch:
+            return self._run_dp(cameras, iterations, log_every, callback)
         if device_loop:
             return self._run_device_loop(cameras, iterations, log_every,
                                          callback, max_chunk)
@@ -364,6 +506,61 @@ class Trainer:
             self.logger.log(rec, step=it)
         if callback:
             callback(rec)
+
+    def _run_dp(self, cameras, iterations, log_every, callback):
+        """Data-parallel host loop: full trainer cadence (phase schedule,
+        bounds refresh, stat tracking, densify pause + adjust_anchor),
+        B views per step via make_dp_train_step."""
+        cfg = self.cfg
+        B = self.dp_batch
+        cams_stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[c for c, _, _ in cameras])
+        gt_images = jnp.stack([g for _, g, _ in cameras])
+        gt_depths = jnp.stack([d for _, _, d in cameras])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            put = lambda tree: jax.device_put(tree, rep)
+            cams_stacked = put(cams_stacked)
+            gt_images = put(gt_images)
+            gt_depths = put(gt_depths)
+            self.model = put(self.model)
+            self.opt_state = put(self.opt_state)
+            self.stats = put(self.stats)
+        n_cams = len(cameras)
+        for it in range(self.step + 1, iterations + 1):
+            self.step = it
+            self.key, k_cam, k_step = jax.random.split(self.key, 3)
+            idx = jax.random.randint(k_cam, (B,), 0, n_cams)
+            keys = jax.random.split(k_step, B)
+            phase = phase_of_step(it, cfg)
+            if it == cfg.context_from_step:
+                self.model = self.model._replace(
+                    bounds=update_anchor_bounds(self.model.state))
+            track = cfg.start_stat < it < cfg.update_until
+            (self.model, self.opt_state, self.stats,
+             metrics) = self.dp_step_fn(
+                self.model, self.opt_state, self.stats, cams_stacked,
+                gt_images, gt_depths, idx, keys, phase=phase,
+                track_stats=track)
+
+            in_pause = cfg.densify_pause_from <= it < cfg.densify_pause_until
+            if (track and not in_pause and it > cfg.update_from
+                    and it % cfg.update_interval == 0):
+                self.model, self.stats, self.opt_state, info = \
+                    densify.adjust_anchor(self.model, self.stats,
+                                          self.opt_state, cfg,
+                                          self.voxel_size, self.np_rng)
+                if self.mesh is not None:
+                    self.model = put(self.model)
+                    self.opt_state = put(self.opt_state)
+                    self.stats = put(self.stats)
+            else:
+                info = None
+
+            if it % log_every == 0 or it == iterations:
+                self._emit_record(it, metrics._asdict(), info, callback)
+        return self.model
 
     def _chunk_end(self, it: int, iterations: int, max_chunk: int) -> int:
         """Largest end step e >= it such that steps [it, e] share phase and

@@ -63,22 +63,21 @@ def stage_proj(means, scales, quats):
     return projection.project_gaussians(means, cov6, view, full, W, H, fx, fy, tx, ty)
 proj = stage_proj(*argsj[:3])
 
-# stage B: binning
+# stage B: binning (production path: attr rows ride the gather/sort and
+# the kernel slab comes out of bin_splats directly)
 @jax.jit
-def stage_bin(proj, opac):
+def stage_bin(proj, colors, opac):
+    opac_eff = jnp.where(proj.valid, opac, 0.0)
+    attr_rows = jnp.stack([
+        proj.mean2d[:, 0], proj.mean2d[:, 1], proj.conic[:, 0],
+        proj.conic[:, 1], proj.conic[:, 2], opac_eff, proj.depth,
+        colors[:, 0], colors[:, 1], colors[:, 2]], 0)
     return tiles_lib.bin_splats(proj, W, H, 16, pair_cap, tile_cap,
-                                opacities=jnp.where(proj.valid, opac, 0.0),
+                                opacities=opac_eff,
                                 packed_capacity=packed_cap, grad_index=True,
-                                need_entries=False)
-bins = stage_bin(proj, argsj[4])
-
-# stage C: pack (bins.perm/pos precomputed by bin_splats with grad_index)
-@jax.jit
-def stage_pack(proj, colors, opac, bins):
-    return pb.pack_splat_data_sorted(proj.mean2d, proj.conic, proj.depth,
-                                     colors, opac, bins.gauss_sorted,
-                                     bins.t_start[bins.perm], tile_cap)
-data = stage_pack(proj, argsj[3], argsj[4], bins)
+                                need_entries=False, attr_rows=attr_rows)
+bins = stage_bin(proj, argsj[3], argsj[4])
+data = bins.slab
 
 # stage D: fwd blend kernel
 @jax.jit
@@ -104,7 +103,7 @@ def stage_reduce(grad, bins):
     cap = tile_cap; T_pos = bins.counts.shape[0]
     PC = bins.src_lane.shape[0]
     src = jnp.concatenate([
-        jnp.transpose(grad[:, :10, :], (1, 0, 2)).reshape(10, cap*T_pos),
+        grad.reshape(10, cap*T_pos),
         jnp.zeros((10, 128), jnp.float32)], axis=1)
     pgT = jnp.take(src, jnp.minimum(bins.src_lane, cap*T_pos), axis=1)
     C = cumsum_lanes(pgT)
@@ -131,8 +130,8 @@ gfn = jax.jit(jax.value_and_grad(lambda a: loss(a)))
 ffn = jax.jit(loss)
 
 timeit(stage_proj, argsj[:3], name="projection")
-timeit(stage_bin, (proj, argsj[4]), name="binning (grad_index)")
-timeit(stage_pack, (proj, argsj[3], argsj[4], bins), name="pack splat data")
+timeit(stage_bin, (proj, argsj[3], argsj[4]),
+       name="binning + slab (grad_index)")
 timeit(stage_fwd, (data, bins), name="fwd blend kernel")
 timeit(stage_bwd, (data, bins, Tf, ncon), name="bwd blend kernel")
 timeit(stage_reduce, (gr, bins), name="grad reduce")

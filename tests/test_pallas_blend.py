@@ -132,3 +132,18 @@ def test_odd_cap_chunk_unroll_clamp(rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-6, rtol=2e-4,
                                    err_msg=f"grad {nm}")
+
+
+def test_expand_slab_kernel_matches_gather(rng):
+    """The Pallas slab-expansion kernel (interpret mode, forced) must be
+    bit-identical to the XLA gather formulation it replaces."""
+    from bloomscene_tpu.ops.pallas.expand import expand_slab
+    R, PCp, cap, T = 10, 3000, 64, 128    # T=128: the real kernel path
+    asT = jnp.asarray(np.concatenate(
+        [rng.normal(size=(R, PCp)).astype(np.float32),
+         np.zeros((R, cap), np.float32)], axis=1))
+    t_start = jnp.asarray(
+        np.sort(rng.integers(0, PCp, (T,))).astype(np.int32))
+    ref = expand_slab(asT, t_start, cap, T)            # gather fallback
+    got = expand_slab(asT, t_start, cap, T, force_pallas=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
