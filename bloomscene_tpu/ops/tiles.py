@@ -476,6 +476,13 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         okp = live_p & (slotp >= 0) & (slotp < tile_capacity)
         src_of_p = jnp.where(okp, slotp * num_tiles + tp[1],
                              tile_capacity * num_tiles)
+        # NOTE: both permutation applications below stay SORTS on purpose.
+        # They are pure permutations (unique keys), so a unique-index
+        # scatter-set is semantically identical — but measured in-loop on
+        # a v5e the scatters are ~2x SLOWER (src_lane scatter 1.49 ms vs
+        # ~0.7 ms sort; starts/ends scatters 1.76 ms vs ~0.75 ms sort).
+        # TPU scatter lowering pays per-index overhead that the bitonic
+        # sort amortizes.
         _, src_lane = lax.sort((eslot_s.astype(jnp.int32), src_of_p),
                                num_keys=1, is_stable=False)
         # per-ORIGINAL-ID emission ranges: rank r owns emission slots
