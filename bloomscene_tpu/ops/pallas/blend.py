@@ -42,9 +42,9 @@ from ..reference_rasterizer import (ACC_SEED, ALPHA_MAX, ALPHA_MIN,
 
 GROUP_TILES = 128    # tiles per program (lane dim; must be 128-multiple)
 CAP_CHUNK = 128      # splats streamed per grid step (VMEM budget bound)
-BWD_CAP_CHUNK = 64   # smaller bwd chunks: the grad out block doubles the
-                     # per-chunk VMEM footprint vs the fwd kernel
-BWD_UNROLL = 4       # fits the ~16MB VMEM scoped limit at cc=64
+BWD_CAP_CHUNK = 64   # bounded by scoped VMEM: the unrolled pre-section
+                     # holds ~10 [P,GT] planes per splat (x4 unroll)
+BWD_UNROLL = 4
 INTERPRET = False    # set True to run kernels in interpreter mode (CPU)
 DATA_W = 10          # packed attrs: mx,my,ca,cb,cc,op,de,r,g,b (leading
                      # dim is untiled, so no pad rows are needed)
@@ -326,6 +326,7 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
     grad_ref[...] = jnp.zeros_like(grad_ref)
     n_here = jnp.clip(gmax_ref[g] - chunk * cc, 0, cc)
     cnt = counts_ref[0:1, :]
+    tb = -Tf * bg_term               # splat-invariant: hoisted off the walk
 
     # UNROLL x{BWD_UNROLL} back-to-front: blocks walk from the top; within
     # a block the heavy per-splat work (power/exp/gdx) is hoisted into a
@@ -358,8 +359,13 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
                        & (chunk * cc + j < ncon))
             gdx = G * dx
             gdy = G * dy
+            # the reciprocal is hoisted off the serial recurrence (the
+            # VPU divide is the longest-latency op in the chain); bigger
+            # hoists (the five integrand factor planes) blow the scoped
+            # VMEM budget at x4 unroll and stay in the serial section.
+            inv1ma = 1.0 / (1.0 - alpha)
             pre.append((alpha, oG, blended, op, de, cr, cg, cbl,
-                        ca, cb, ccn, dx, dy, G, gdx, gdy))
+                        ca, cb, ccn, dx, dy, G, gdx, gdy, inv1ma))
 
         (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld) = carry
 
@@ -368,10 +374,10 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
 
         for u in reversed(range(U)):
             (alpha, oG, blended, op, de, cr, cg, cbl,
-             ca, cb, ccn, dx, dy, G, gdx, gdy) = pre[u]
+             ca, cb, ccn, dx, dy, G, gdx, gdy, inv1ma) = pre[u]
             j = jbase + u
 
-            T = jnp.where(blended, T / (1.0 - alpha), T)
+            T = jnp.where(blended, T * inv1ma, T)
             w = jnp.where(blended, alpha * T, 0.0)
 
             ar_r = jnp.where(blended, la * lr + (1 - la) * ar_r, ar_r)
@@ -383,8 +389,7 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
             dL_da = ((cr - ar_r) * ur + (cg - ar_g) * ug
                      + (cbl - ar_b) * ub
                      + (de - ar_d) * ud + (1.0 - ar_1) * uone)
-            dL_da = dL_da * T + jnp.where(
-                blended, (-Tf / (1.0 - alpha)) * bg_term, 0.0)
+            dL_da = dL_da * T + jnp.where(blended, tb * inv1ma, 0.0)
             dL_da = jnp.where(blended, dL_da, 0.0)
 
             unclamped = oG < ALPHA_MAX
@@ -406,10 +411,10 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
             grad_ref[:, jc, :] = out
 
             la = jnp.where(blended, alpha, la)
-            lr = jnp.where(blended, cr + 0 * lr, lr)
-            lg = jnp.where(blended, cg + 0 * lg, lg)
-            lb = jnp.where(blended, cbl + 0 * lb, lb)
-            ld = jnp.where(blended, de + 0 * ld, ld)
+            lr = jnp.where(blended, jnp.broadcast_to(cr, lr.shape), lr)
+            lg = jnp.where(blended, jnp.broadcast_to(cg, lg.shape), lg)
+            lb = jnp.where(blended, jnp.broadcast_to(cbl, lb.shape), lb)
+            ld = jnp.where(blended, jnp.broadcast_to(de, ld.shape), ld)
         return (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld)
 
     init = (sT[...], sArR[...], sArG[...], sArB[...], sArD[...], sAr1[...],
