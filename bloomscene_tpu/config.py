@@ -130,6 +130,15 @@ class GSConfig:
     # --- rasterizer (TPU tiling; reference uses 16x16 CUDA blocks) ---
     tile_size: int = 16
     max_splats_per_tile: int = 1024     # static per-tile capacity (XLA shapes)
+    # static (splat, tile) pair-buffer size; None = rasterizer default
+    # (2x the total tile budget, ops/tile_rasterizer.py). Large scenes at
+    # big early-training splat sizes may need more; overflow drops the
+    # FARTHEST pairs and is reported per step (train/loop.py warnings).
+    pair_capacity: int | None = None
+    # post-cull sorted pair list size; None = pair_capacity. The exact-
+    # zero cull typically drops 20-40% of pairs, so a snug packed buffer
+    # shrinks every pair-proportional stage by that factor.
+    packed_capacity: int | None = None
     # when set, decode/rasterize only a bounded bucket of VISIBLE anchors
     # (gathered before decode, as the reference's visible_mask compaction,
     # gaussian_renderer/__init__.py:33-44). Bounds per-step child-array

@@ -108,7 +108,9 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
     out, bins = rasterize_tiles(
         proj, dec.color, dec.opacity, bg,
         intr.width, intr.height, tile=cfg.tile_size,
+        pair_capacity=cfg.pair_capacity,
         tile_capacity=tile_capacity or cfg.max_splats_per_tile,
+        packed_capacity=cfg.packed_capacity,
         tile_sharding=tile_sharding, backend=backend)
     return RenderResult(out=out, dec=dec, rate=rate, proj=proj,
                         tile_overflow=bins.tile_overflow,

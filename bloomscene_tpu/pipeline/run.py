@@ -71,6 +71,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--voxel_size', type=float, default=None,
                    help='anchor voxel size (default: config 0.001; larger '
                         '= fewer anchors)')
+    # static rasterizer/decode capacities (large-scene knobs; overflow is
+    # depth-aware and warned about per step — see train/loop.py)
+    p.add_argument('--visible_capacity', type=int, default=None,
+                   help='bound the per-step decoded anchor set to this '
+                        'many visible anchors (required for 500K+ anchor '
+                        'scenes; default: dense decode)')
+    p.add_argument('--max_splats_per_tile', type=int, default=None,
+                   help='static per-tile splat list capacity (default: '
+                        f'config {1024})')
+    p.add_argument('--pair_capacity', type=int, default=None,
+                   help='static (splat, tile) pair buffer size (default: '
+                        '2x the total tile budget)')
+    p.add_argument('--packed_capacity', type=int, default=None,
+                   help='post-cull sorted pair list size (default: '
+                        'pair_capacity)')
     p.add_argument('--load_dir', type=str, default='',
                    help='cold-start: skip generation/training and re-render '
                         'a previously saved run from its checkpoint.npz + '
@@ -139,9 +154,12 @@ def main(argv=None):
         neg = open(neg).readline().strip()
 
     use_dpr = args.dep_value or args.dep_domin or args.dep_smooth
+    cap_over = {k: getattr(args, k) for k in
+                ('voxel_size', 'visible_capacity', 'max_splats_per_tile',
+                 'pair_capacity', 'packed_capacity')
+                if getattr(args, k) is not None}
     cfg = GSConfig(
-        **({'voxel_size': args.voxel_size}
-           if args.voxel_size is not None else {}),
+        **cap_over,
         use_dpr=use_dpr,
         lambda_dep_value=args.dep_value_lbd if args.dep_value else 0.0,
         lambda_dep_domin=args.dep_domin_lbd if args.dep_domin else 0.0,

@@ -62,14 +62,14 @@ def get_pcd_gen_poses(name: str, center_depths=None) -> np.ndarray:
     raise ValueError(f"Invalid pcd generation path: {name}")
 
 
-def get_camera_paths() -> dict:
-    """180-frame render presets as NeRF-style c2w frames
-    (get_camerapaths, trajectory.py:102-126)."""
+def get_camera_paths(n_frames: int = 180) -> dict:
+    """Render presets as NeRF-style c2w frames
+    (get_camerapaths, trajectory.py:102-126; default 180 frames)."""
     presets = {}
     yz_reverse = np.diag([1.0, -1.0, -1.0])
     for name in ('rotate360',):
         frames = []
-        for pose in seed_360(360, 180):
+        for pose in seed_360(360, n_frames):
             Rw2i = pose[:3, :3]
             Tw2i = pose[:3, 3:4]
             Ri2w = (yz_reverse @ Rw2i).T
@@ -80,6 +80,28 @@ def get_camera_paths() -> dict:
             frames.append({"transform_matrix": c2w.tolist()})
         presets[name] = {"frames": frames}
     return presets
+
+
+def write_rotate360_json(path: str, n_frames: int = 720,
+                         camera_angle_x: float | None = None) -> dict:
+    """Generate the 720-frame rotate360 camera-path json — the analog of
+    the reference's shipped cameras/rotate360.json asset (720 frames,
+    consumed by utils/camera.py:23-51). GENERATED from the orbit formula,
+    not copied: same 0.5-degree-per-frame yaw orbit and the same default
+    fov (2*atan(256/582.69), the reference CameraParams focal at 512px),
+    but the camera orbits at the scene origin like every other preset in
+    this repo (the reference file's constant -2.5 translation is specific
+    to its own scene layout). Loadable via --campath_render <path> or
+    scene.trajectory.load_camera_path_json."""
+    import json
+    import math
+    if camera_angle_x is None:
+        camera_angle_x = 2.0 * math.atan(256.0 / 582.69)
+    d = {"camera_angle_x": camera_angle_x,
+         "frames": get_camera_paths(n_frames)['rotate360']['frames']}
+    with open(path, 'w') as f:
+        json.dump(d, f)
+    return d
 
 
 def load_camera_path_json(path: str) -> dict:

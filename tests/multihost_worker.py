@@ -41,6 +41,7 @@ def run(mesh_data: int | None = None):
                                               make_global_tree)
     from bloomscene_tpu.parallel.sharded import (
         make_dp_train_step, make_tile_parallel_train_step)
+    from bloomscene_tpu.models import densify
     from bloomscene_tpu.train.optim import make_optimizer
 
     cfg, model, cam = build_scene()
@@ -56,15 +57,20 @@ def run(mesh_data: int | None = None):
     gt_depths = jnp.asarray(rng.uniform(1, 4, (B, H, W)), jnp.float32)
     cams = jax.tree.map(lambda x: jnp.stack([x] * B), arrs)
     keys = jax.random.split(jax.random.PRNGKey(0), B)
+    stats = densify.init_stats(model.state.capacity, cfg.n_offsets)
 
-    # --- DP across hosts: data axis = B = host count ---
+    # --- DP across hosts: data axis = B = host count (the integrated
+    # trainer step from train.loop: stats + metrics + NaN guard) ---
     mesh = make_host_mesh(data=B)
     rep = lambda t: make_global_tree(t, mesh, P())
     dat = lambda t: make_global_tree(t, mesh, P('data'))
-    step_dp = make_dp_train_step(cfg, intr, optimizer, bg, mesh, phase=0)
-    _, _, dp_loss = step_dp(rep(model), rep(opt_state), dat(cams),
-                            dat(gt_images), dat(gt_depths), dat(keys))
-    dp_loss = float(dp_loss)
+    step_dp = make_dp_train_step(cfg, intr, optimizer, bg, mesh=mesh)
+    idx = jnp.arange(B, dtype=jnp.int32)
+    _, _, _, metrics = step_dp(rep(model), rep(opt_state), rep(stats),
+                               rep(cams), rep(gt_images), rep(gt_depths),
+                               dat(idx), dat(keys),
+                               phase=0, track_stats=True)
+    dp_loss = float(metrics.loss)
 
     # --- tile-parallel across ALL devices of both hosts ---
     mesh_tp = make_host_mesh(data=1)

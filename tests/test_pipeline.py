@@ -137,6 +137,42 @@ def test_camera_path_json_preset(tmp_path, tiny_cam):
     assert abs(cam.intrinsics.fovx - 0.9) < 1e-6
 
 
+def test_shipped_rotate360_720_frame_preset(tmp_path, tiny_cam):
+    """The SHIPPED cameras/rotate360.json (720-frame orbit, the analog of
+    the reference's asset consumed by utils/camera.py:23-51) loads as a
+    render preset out of the box and renders through the full model."""
+    import jax
+    from bloomscene_tpu.models.model import init_model
+    from bloomscene_tpu.models.render import render
+    from bloomscene_tpu.scene.dataset import read_scene_data
+    from bloomscene_tpu.scene.trajectory import write_rotate360_json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shipped = os.path.join(repo, 'cameras', 'rotate360.json')
+    assert os.path.exists(shipped), "cameras/rotate360.json not shipped"
+    # the committed asset is exactly what the generator produces
+    regen = write_rotate360_json(str(tmp_path / 'r.json'))
+    assert json.load(open(shipped)) == regen
+
+    rng = np.random.default_rng(4)
+    rgb = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    td = pcdgen.generate_pcd(rgb, "x", "", 'rotate360', seed=0,
+                             diff_steps=1, cam=tiny_cam,
+                             inpaint=StubInpaintPrior(),
+                             depth_prior=StubDepthPrior())
+    scene = read_scene_data(td, preset_json={'rotate360_720': shipped})
+    cams = scene.preset_cameras['rotate360_720']
+    assert len(cams) == 720
+    assert abs(cams[0].intrinsics.fovx - 0.8279103882874479) < 1e-9
+
+    cfg = GSConfig(voxel_size=0.1, max_splats_per_tile=256)
+    model, _ = init_model(jax.random.PRNGKey(0),
+                          np.asarray(td['pcd_points']).T[:500], cfg)
+    res = render(model, cams[0].intrinsics, cams[0].device_arrays(), cfg,
+                 phase=0, mode='eval')
+    assert np.isfinite(np.asarray(res.out.color)).all()
+
+
 def test_io_roundtrips(tmp_path):
     from bloomscene_tpu.utils import io as io_utils
     rng = np.random.default_rng(0)
