@@ -155,6 +155,18 @@ class AnchorState:
     def num_alive(self):
         return jnp.sum(self._alive)
 
+    def gather_rows(self, idx, alive) -> "AnchorState":
+        """Row-gather every per-anchor field by ``idx`` on the FLAT
+        leaves (reshaped [C, k] first). Indexing the 3D views instead
+        (e.g. ``state.offset[idx]``) makes XLA materialize the view with
+        its (8,128)-padded layout — 68x for [C, 10, 3] — which OOMs HBM
+        at multi-million-anchor capacities; the [C, k] row form pads only
+        k -> 128. ``alive`` becomes the gathered state's alive mask."""
+        C = self.capacity
+        vals = {f: getattr(self, '_' + f).reshape(C, -1)[idx]
+                for f in self._fields if f != 'alive'}
+        return AnchorState(alive=alive, **vals)
+
 
 class AnchorBounds(NamedTuple):
     """Anchor AABB for quantization/hash normalization

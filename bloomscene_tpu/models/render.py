@@ -84,13 +84,10 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
                                   fill_value=C)[0].astype(jnp.int32)
         ok = visible_idx < C
         safe = jnp.minimum(visible_idx, C - 1)
-        from .anchors import AnchorState
-        sub = AnchorState(
-            anchor=st.anchor[safe], offset=st.offset[safe],
-            mask_logit=st.mask_logit[safe], feat=st.feat[safe],
-            scaling_log=st.scaling_log[safe], rotation=st.rotation[safe],
-            opacity_raw=st.opacity_raw[safe],
-            alive=ok & st.alive[safe])
+        # row-gather on the FLAT leaves (not the 3D views): see
+        # AnchorState.gather_rows — the padded view layout OOMs at
+        # multi-million-anchor capacity
+        sub = st.gather_rows(safe, ok & st.alive[safe])
         model = model._replace(state=sub)
         visible = None           # the compacted set IS the visible set
     dec, rate = decode_neural_gaussians(model, cam.camera_center, cfg,

@@ -244,7 +244,7 @@ def blend_forward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
     (ops.tiles.bin_splats tile_shards) so per-device groups stay
     load-balanced."""
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         if tid is None:
             tid = jnp.arange(splat_data.shape[2], dtype=jnp.int32)
@@ -253,7 +253,7 @@ def blend_forward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
             mesh=mesh,
             in_specs=(P(None, None, axis), P(axis), P(axis)),
             out_specs=tuple([P(None, axis)] * 7),
-            check_rep=False)
+            check_vma=False)
         return fn(splat_data, counts, tid)
     return _blend_forward_local(tile, gx, gy, splat_data, counts, tid)
 
@@ -448,7 +448,7 @@ def blend_backward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
     ``mesh``/``axis``: shard the tile/position axis (see
     blend_forward_pallas)."""
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P_
         if tid is None:
             tid = jnp.arange(splat_data.shape[2], dtype=jnp.int32)
@@ -458,7 +458,7 @@ def blend_backward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
             in_specs=(P_(None, None, axis),) + (P_(axis),) * 2
             + (P_(None, axis),) * 8,
             out_specs=P_(None, None, axis),
-            check_rep=False)
+            check_vma=False)
         return fn(splat_data, counts, tid, final_T, ncon, u_r, u_g, u_b,
                   u_d, u_one, bg_term)
     return _blend_backward_local(tile, gx, gy, splat_data, counts, tid,

@@ -156,7 +156,7 @@ def test_dp_trainer_matches_single_device_curve():
     single-device batched trainer's loss curve and densification."""
     from bloomscene_tpu.train.loop import Trainer
 
-    cfg = GSConfig(voxel_size=0.12, max_splats_per_tile=128,
+    cfg = GSConfig(voxel_size=0.12, max_splats_per_tile=2560,
                    iterations=24, start_stat=2, update_from=6,
                    update_interval=8, update_until=22,
                    densify_pause_from=98, densify_pause_until=99,

@@ -68,7 +68,7 @@ def test_full_pipeline_smoke(tmp_path, tiny_cam):
     """The whole create() flow at miniature scale."""
     cfg = GSConfig(voxel_size=0.1, iterations=30, start_stat=5,
                    update_from=10 ** 9, noise_from_step=10 ** 9,
-                   context_from_step=10 ** 9, max_splats_per_tile=512)
+                   context_from_step=10 ** 9, max_splats_per_tile=2048)
     rng = np.random.default_rng(2)
     rgb = rng.uniform(0.2, 0.8, (64, 64, 3)).astype(np.float32)
     bs = BloomScene(str(tmp_path / "out"), cfg=cfg, cam=tiny_cam,

@@ -12,7 +12,7 @@ from bloomscene_tpu.scene.cameras import camera_from_rt
 def setup(seed=0):
     cfg = GSConfig(voxel_size=0.1, iterations=20, start_stat=10 ** 9,
                    update_from=10 ** 9, noise_from_step=10 ** 9,
-                   context_from_step=10 ** 9, max_splats_per_tile=512)
+                   context_from_step=10 ** 9, max_splats_per_tile=3072)
     rng = np.random.default_rng(seed)
     pts = rng.uniform(-0.8, 0.8, (300, 3)).astype(np.float32)
     pts[:, 2] += 2.5

@@ -69,6 +69,26 @@ def test_training_loss_decreases():
     assert tr.history[-1]['tile_overflow'] == 0
 
 
+def test_capacity_overflow_warns():
+    """An undersized per-tile capacity must WARN loudly (depth-aware
+    truncation is graceful, never silent) — the inverse of the sized
+    configs above, which must stay warning-free in CI."""
+    import warnings
+    cfg = small_cfg(iterations=12, update_from=10 ** 9,
+                    max_splats_per_tile=32)
+    pts = synthetic_scene(600)
+    model, vs = init_model(jax.random.PRNGKey(2), pts, cfg)
+    cam, views = target_views()
+    tr = Trainer(model, cfg, cam.intrinsics, vs)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        tr.run(views, iterations=12, log_every=4)
+    msgs = [str(w.message) for w in rec
+            if "capacity overflow" in str(w.message)]
+    assert msgs, "expected a rasterizer capacity-overflow warning"
+    assert tr.history[-1]['tile_overflow'] > 0
+
+
 def test_training_with_densification_and_rate():
     """Cross an adjust_anchor boundary and the context phase."""
     cfg = small_cfg(iterations=100, update_from=20, update_interval=30,
