@@ -281,8 +281,26 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     # cost is per-operand per-pass).
     width = jnp.maximum(x1 - x0, 1)
     key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    pack_rect4 = gx <= 127 and gy <= 127
     pack_rect = gx <= 511 and gy <= 511
-    if pack_rect:
+    if pack_rect4:
+        # all four rect fields fit one i32 (7 bits each at <=127 tiles per
+        # axis), so ``touched`` = w*h is RECOMPUTED post-sort instead of
+        # riding as its own payload — one fewer 32-bit operand through
+        # every pass of the stable depth sort.
+        # height carries the LIVENESS: zero it whenever the original
+        # ``touched`` is zero (dead splat, or x-empty rect where the
+        # width field's max(.,1) floor would otherwise fake a pair)
+        height = jnp.where(touched > 0, jnp.maximum(_y1 - y0, 0), 0)
+        rect_packed = (x0 << 21) | (y0 << 14) | (width << 7) | height
+        _, packed_s, order = lax.sort(
+            (key, rect_packed, jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1, is_stable=True)
+        x0_s = packed_s >> 21
+        y0_s = (packed_s >> 14) & 127
+        w_s = (packed_s >> 7) & 127
+        touched_s = w_s * (packed_s & 127)
+    elif pack_rect:
         rect_packed = (x0 << 18) | (y0 << 9) | width
         _, packed_s, touched_s, order = lax.sort(
             (key, rect_packed, touched,
@@ -336,9 +354,14 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
             tab = jnp.concatenate([tab, atab_s], 0)
         pgT = jnp.take(tab, rank_c, axis=1)             # [3(+R), P]
         gauss_o = pgT[2]
-        p_x0 = pgT[1] >> 18
-        p_y0 = (pgT[1] >> 9) & 511
-        p_w = pgT[1] & 511
+        if pack_rect4:
+            p_x0 = pgT[1] >> 21
+            p_y0 = (pgT[1] >> 14) & 127
+            p_w = (pgT[1] >> 7) & 127
+        else:
+            p_x0 = pgT[1] >> 18
+            p_y0 = (pgT[1] >> 9) & 511
+            p_w = pgT[1] & 511
         av = pgT[3:]
     else:
         tab = jnp.stack([starts, x0_s, y0_s, w_s, order], 0)
