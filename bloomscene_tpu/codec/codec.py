@@ -72,6 +72,35 @@ def _context_params(model: Model, anchors: jnp.ndarray, cfg: GSConfig):
     return (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o, q_f, q_s, q_o)
 
 
+# jitted so the per-megachunk MLP apply compiles once instead of
+# retracing per chunk (the former per-1000-anchor loop spent ~70s of a
+# 60K-anchor encode on CPU dispatch alone)
+_context_params_jit = jax.jit(_context_params, static_argnames=('cfg',))
+
+# anchors per context-MLP dispatch. Both coder sides MUST use the same
+# megachunk size: XLA may vectorize a different batch shape differently,
+# and the entropy model conditions the rANS streams on these floats.
+MEGACHUNK = 64 * CHUNK
+
+
+def _context_params_np(model: Model, anchors: np.ndarray, cfg: GSConfig):
+    """Context params for ALL anchors as host arrays, computed in
+    MEGACHUNK-sized jitted dispatches (identical on encode and decode)."""
+    n = anchors.shape[0]
+    cols = None
+    for lo in range(0, n, MEGACHUNK):
+        part = _context_params_jit(
+            model, jnp.asarray(anchors[lo:lo + MEGACHUNK], jnp.float32),
+            cfg)
+        part = [np.asarray(p) for p in part]
+        if cols is None:
+            cols = [[p] for p in part]
+        else:
+            for c, p in zip(cols, part):
+                c.append(p)
+    return [np.concatenate(c, 0) if len(c) > 1 else c[0] for c in cols]
+
+
 def _alive_arrays(model: Model, cfg: GSConfig):
     """Compacted (host-side) per-anchor arrays for coding: only alive
     anchors whose child mask is non-empty (get_mask_anchor)."""
@@ -162,58 +191,58 @@ def encode_scene(model: Model, cfg: GSConfig, path: str) -> dict:
     # sides (see _anchors_from_codes)
     arr['anchor'] = _anchors_from_codes(codes, bounds_min, bounds_max)
 
-    meta = {'n': int(n), 'chunk': CHUNK, 'chunks': []}
+    # per-stream symbol ranges ride inside each .b blob (bucketed header,
+    # codec/rans.py encode_gaussian) rather than in meta
+    meta = {'n': int(n), 'chunk': CHUNK}
     feat_mean = float(arr['feat'].mean())
     scaling_mean = float(arr['scaling'].mean())
     offsets_mean = float(arr['offsets'].mean())
     bit_feat = bit_scaling = bit_offsets = 0
 
+    (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
+     q_f, q_s, q_o) = _context_params_np(model, arr['anchor'], cfg)
+    scale_f = np.clip(scale_f, 1e-9, None)
+    scale_s = np.clip(scale_s, 1e-9, None)
+    scale_o = np.clip(scale_o, 1e-9, None)
+    feat_q = np.asarray(ste_multistep(
+        jnp.asarray(arr['feat']), jnp.asarray(q_f), feat_mean))
+    scaling_q = np.asarray(ste_multistep(
+        jnp.asarray(arr['scaling']), jnp.asarray(q_s), scaling_mean))
+    offsets_q = np.asarray(ste_multistep(
+        jnp.asarray(arr['offsets']), jnp.asarray(q_o)[:, :, None],
+        offsets_mean)).reshape(n, -1)
+
     for s in range(steps):
         lo, hi = s * CHUNK, min((s + 1) * CHUNK, n)
-        anchors = jnp.asarray(arr['anchor'][lo:hi])
-        (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
-         q_f, q_s, q_o) = _context_params(model, anchors, cfg)
         m = hi - lo
-        qf = np.broadcast_to(np.asarray(q_f), (m, cfg.feat_dim)).ravel()
-        qs = np.broadcast_to(np.asarray(q_s), (m, 6)).ravel()
-        qo = np.broadcast_to(np.asarray(q_o),
-                             (m, 3 * cfg.n_offsets)).ravel()
+        qf = np.broadcast_to(q_f[lo:hi], (m, cfg.feat_dim)).ravel()
+        qs = np.broadcast_to(q_s[lo:hi], (m, 6)).ravel()
+        qo = np.broadcast_to(q_o[lo:hi], (m, 3 * cfg.n_offsets)).ravel()
 
-        feat = np.asarray(ste_multistep(
-            jnp.asarray(arr['feat'][lo:hi]), q_f, feat_mean)).ravel()
-        data_f, minf, maxf = rans.encode_gaussian(
-            feat, np.asarray(mean_f).ravel(),
-            np.clip(np.asarray(scale_f).ravel(), 1e-9, None), qf)
+        data_f = rans.encode_gaussian(
+            feat_q[lo:hi].ravel(), mean_f[lo:hi].ravel(),
+            scale_f[lo:hi].ravel(), qf)
         with open(os.path.join(path, f'feat_{s}.b'), 'wb') as f:
             f.write(data_f)
 
-        scaling = np.asarray(ste_multistep(
-            jnp.asarray(arr['scaling'][lo:hi]), q_s, scaling_mean)).ravel()
-        data_s, mins, maxs = rans.encode_gaussian(
-            scaling, np.asarray(mean_s).ravel(),
-            np.clip(np.asarray(scale_s).ravel(), 1e-9, None), qs)
+        data_s = rans.encode_gaussian(
+            scaling_q[lo:hi].ravel(), mean_s[lo:hi].ravel(),
+            scale_s[lo:hi].ravel(), qs)
         with open(os.path.join(path, f'scaling_{s}.b'), 'wb') as f:
             f.write(data_s)
 
         mask3 = np.repeat(arr['mask'][lo:hi, :, 0], 3, axis=-1) > 0.5
         mask3 = mask3.reshape(-1)
-        offsets = np.asarray(ste_multistep(
-            jnp.asarray(arr['offsets'][lo:hi]), q_o[:, :, None],
-            offsets_mean)).reshape(m, -1).ravel()
-        data_o, mino, maxo = rans.encode_gaussian(
-            offsets[mask3], np.asarray(mean_o).ravel()[mask3],
-            np.clip(np.asarray(scale_o).ravel()[mask3], 1e-9, None),
-            qo[mask3])
+        offsets = offsets_q[lo:hi].ravel()
+        data_o = rans.encode_gaussian(
+            offsets[mask3], mean_o[lo:hi].ravel()[mask3],
+            scale_o[lo:hi].ravel()[mask3], qo[mask3])
         with open(os.path.join(path, f'offsets_{s}.b'), 'wb') as f:
             f.write(data_o)
 
         bit_feat += len(data_f) * 8
         bit_scaling += len(data_s) * 8
         bit_offsets += len(data_o) * 8
-        meta['chunks'].append({
-            'min_feat': int(minf), 'max_feat': int(maxf),
-            'min_scaling': int(mins), 'max_scaling': int(maxs),
-            'min_offsets': int(mino), 'max_offsets': int(maxo)})
 
     # hash tables: Bernoulli
     hash_flat = np.asarray(all_grid_params_flat(model.grid)).ravel()
@@ -290,37 +319,39 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str) -> Model:
         masks = rans.decode_binary(f.read(), meta['prob_masks'], n * K,
                                    as_pm1=False).reshape(n, K, 1)
 
+    # context params batched exactly like the encode side (same MEGACHUNK
+    # dispatch shapes -> bit-identical MLP floats -> same entropy model)
+    (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
+     q_f, q_s, q_o) = _context_params_np(model, anchors, cfg)
+    scale_f = np.clip(scale_f, 1e-9, None)
+    scale_s = np.clip(scale_s, 1e-9, None)
+    scale_o = np.clip(scale_o, 1e-9, None)
+
     feat = np.zeros((n, F), np.float32)
     scaling = np.zeros((n, 6), np.float32)
     offsets = np.zeros((n, K, 3), np.float32)
-    for s, cm in enumerate(meta['chunks']):
+    for s in range(-(-n // CHUNK)):
         lo, hi = s * CHUNK, min((s + 1) * CHUNK, n)
         m = hi - lo
-        (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
-         q_f, q_s, q_o) = _context_params(
-            model, jnp.asarray(anchors[lo:hi], jnp.float32), cfg)
-        qf = np.broadcast_to(np.asarray(q_f), (m, F)).ravel()
-        qs = np.broadcast_to(np.asarray(q_s), (m, 6)).ravel()
-        qo = np.broadcast_to(np.asarray(q_o), (m, 3 * K)).ravel()
+        qf = np.broadcast_to(q_f[lo:hi], (m, F)).ravel()
+        qs = np.broadcast_to(q_s[lo:hi], (m, 6)).ravel()
+        qo = np.broadcast_to(q_o[lo:hi], (m, 3 * K)).ravel()
 
         with open(os.path.join(path, f'feat_{s}.b'), 'rb') as f:
             feat[lo:hi] = rans.decode_gaussian(
-                f.read(), np.asarray(mean_f).ravel(),
-                np.clip(np.asarray(scale_f).ravel(), 1e-9, None), qf,
-                cm['min_feat'], cm['max_feat']).reshape(m, F)
+                f.read(), mean_f[lo:hi].ravel(), scale_f[lo:hi].ravel(),
+                qf).reshape(m, F)
         with open(os.path.join(path, f'scaling_{s}.b'), 'rb') as f:
             scaling[lo:hi] = rans.decode_gaussian(
-                f.read(), np.asarray(mean_s).ravel(),
-                np.clip(np.asarray(scale_s).ravel(), 1e-9, None), qs,
-                cm['min_scaling'], cm['max_scaling']).reshape(m, 6)
+                f.read(), mean_s[lo:hi].ravel(), scale_s[lo:hi].ravel(),
+                qs).reshape(m, 6)
         mask3 = np.repeat(masks[lo:hi, :, 0], 3, axis=-1).reshape(-1) > 0.5
         off_flat = np.zeros(m * 3 * K)
         if mask3.any():
             with open(os.path.join(path, f'offsets_{s}.b'), 'rb') as f:
                 off_flat[mask3] = rans.decode_gaussian(
-                    f.read(), np.asarray(mean_o).ravel()[mask3],
-                    np.clip(np.asarray(scale_o).ravel()[mask3], 1e-9, None),
-                    qo[mask3], cm['min_offsets'], cm['max_offsets'])
+                    f.read(), mean_o[lo:hi].ravel()[mask3],
+                    scale_o[lo:hi].ravel()[mask3], qo[mask3])
         offsets[lo:hi] = off_flat.reshape(m, K, 3)
 
     state = AnchorState(

@@ -43,7 +43,10 @@ def _native_lib():
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
             os.makedirs(os.path.dirname(so), exist_ok=True)
-            subprocess.run(['g++', '-O3', '-shared', '-fPIC', '-o', so, src],
+            # -ffp-contract=off: the gaussian fast path recomputes CDF
+            # edges that must be bit-identical to numpy's (no FMA fusion)
+            subprocess.run(['g++', '-O3', '-ffp-contract=off', '-shared',
+                            '-fPIC', '-o', so, src],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         lib.rans_encode.restype = ctypes.c_int64
@@ -56,6 +59,22 @@ def _native_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+        dbl_p = ctypes.POINTER(ctypes.c_double)
+        lib.rans_encode_gaussian.restype = ctypes.c_int64
+        lib.rans_encode_gaussian.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), dbl_p, dbl_p, dbl_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            dbl_p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.rans_decode_gaussian.restype = ctypes.c_int32
+        lib.rans_decode_gaussian.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            dbl_p, dbl_p, dbl_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            dbl_p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except Exception:
         _lib = None
@@ -196,6 +215,38 @@ except Exception:                                        # pragma: no cover
         return v(z)
 
 
+# Uniform-grid linear-interp LUT for Phi(z): the CDF table build is the
+# host-side codec bottleneck and is pure erf volume. PL interp on a
+# 1/1024-step grid has error ~3e-8 — far below the 1/65536 CDF quantum —
+# and a gather+FMA is several times cheaper than erf. Both coder sides
+# use the same table, so streams stay self-consistent regardless.
+_LUT_Z0, _LUT_Z1, _LUT_N = -8.5, 8.5, 17408
+_LUT_INV_H = _LUT_N / (_LUT_Z1 - _LUT_Z0)
+_LUT_TMAX = _LUT_N * (1 - 1e-12)
+_LUT_TABLE = None
+
+
+def _phi_table() -> np.ndarray:
+    global _LUT_TABLE
+    if _LUT_TABLE is None:
+        _LUT_TABLE = np.ascontiguousarray(
+            _norm_cdf(np.linspace(_LUT_Z0, _LUT_Z1, _LUT_N + 1)))
+    return _LUT_TABLE
+
+
+def _norm_cdf_fast(z: np.ndarray) -> np.ndarray:
+    """Linear-interp Phi; operation-for-operation identical to the C++
+    phi_lut (native/rans.cpp), so fallback and native streams match."""
+    T = _phi_table()
+    t = (z - _LUT_Z0) * _LUT_INV_H
+    np.clip(t, 0.0, _LUT_TMAX, out=t)
+    i = t.astype(np.int64)
+    t -= i                                   # frac, in place
+    lo = T[i]
+    lo += (T[i + 1] - lo) * t
+    return lo
+
+
 def _gaussian_cdf_rows(mean, scale, q, min_v: int, max_v: int):
     """CDF rows over integer symbols [min_v, max_v] for round(x/Q) coding
     (reference encoder_gaussian, encodings.py:84-114)."""
@@ -234,7 +285,7 @@ def _gaussian_cdf_q_rows(mean, scale, q, min_v: int, max_v: int,
         sl = slice(i, min(i + chunk, n))
         z = samples[None, :] * (qf[sl] / scale[sl])[:, None] \
             - (mean[sl] / scale[sl])[:, None]
-        c = _norm_cdf(z)
+        c = _norm_cdf_fast(z)
         qi = np.round(c * float(_PROB_SCALE - k)).astype(np.int32)
         qi += ramp
         qi[:, 0] = 0
@@ -256,27 +307,161 @@ def _gaussian_cdf_q_rows(mean, scale, q, min_v: int, max_v: int,
     return out
 
 
-def encode_gaussian(x, mean, scale, q):
+# thresholds on r = scale/Q for width-bucketing gaussian streams: the CDF
+# table a row needs is ~ +-5*scale/Q symbols wide, so rows are grouped by
+# r in powers of two and each group gets a snug shared table instead of
+# the whole stream paying for its widest row
+_BUCKET_EDGES = 2.0 ** np.arange(-1, 13)     # 0.5 .. 4096 -> 15 buckets
+
+
+def _bucket_ids(scale: np.ndarray, q_arr: np.ndarray) -> np.ndarray:
+    """Deterministic width-bucket assignment from (scale, Q) only — both
+    coder sides have these, so no per-row side info is transmitted."""
+    return np.digitize(scale / q_arr, _BUCKET_EDGES)
+
+
+def _encode_gauss_run(sym0: np.ndarray, mean_eff: np.ndarray,
+                      scale: np.ndarray, q_arr: np.ndarray,
+                      min_v: int, max_v: int) -> bytes:
+    """One gaussian-coded run: native table-free path when available
+    (2 on-the-fly CDF edges per symbol), else the table-building
+    fallback. Both produce bit-identical streams (shared Phi LUT)."""
+    lib = _native_lib()
+    n = sym0.shape[0]
+    if lib is not None:
+        T = _phi_table()
+        out = np.empty(4 * n + 64, np.uint8)
+        written = lib.rans_encode_gaussian(
+            np.ascontiguousarray(sym0, np.int32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
+            np.ascontiguousarray(mean_eff).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+            np.ascontiguousarray(scale).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+            np.ascontiguousarray(q_arr).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+            n, min_v, max_v - min_v + 1,
+            T.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), T.size,
+            _LUT_Z0, _LUT_INV_H, _LUT_TMAX,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
+        if written < 0:
+            raise ValueError(f"rans_encode_gaussian failed: {written}")
+        return out[:written].tobytes()
+    cdf_q = _gaussian_cdf_q_rows(mean_eff, scale, q_arr, min_v, max_v)
+    return _encode_q(sym0.astype(np.int32), cdf_q)
+
+
+def _decode_gauss_run(data: bytes, mean_eff: np.ndarray, scale: np.ndarray,
+                      q_arr: np.ndarray, min_v: int,
+                      max_v: int) -> np.ndarray:
+    """Inverse of _encode_gauss_run; returns symbols in [0, K-1]."""
+    lib = _native_lib()
+    n = mean_eff.shape[0]
+    if lib is not None:
+        T = _phi_table()
+        buf = np.frombuffer(data, np.uint8)
+        out = np.empty(n, np.int32)
+        rc = lib.rans_decode_gaussian(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+            np.ascontiguousarray(mean_eff).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+            np.ascontiguousarray(scale).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+            np.ascontiguousarray(q_arr).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)),
+            n, min_v, max_v - min_v + 1,
+            T.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), T.size,
+            _LUT_Z0, _LUT_INV_H, _LUT_TMAX,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc != 0:
+            raise ValueError(f"rans_decode_gaussian failed: {rc}")
+        return out
+    cdf_q = _gaussian_cdf_q_rows(mean_eff, scale, q_arr, min_v, max_v)
+    return _decode_q(data, cdf_q)
+
+
+def encode_gaussian(x, mean, scale, q) -> bytes:
     """Quantize x to round(x/Q) and code with the gaussian model.
 
-    Returns (bytes, min_v, max_v). Mirrors encoder_gaussian
-    (encodings.py:84-114)."""
+    Returns a self-contained bitstream blob. Mirrors encoder_gaussian
+    (encodings.py:84-114) with two structural changes that keep the coded
+    probabilities identical but collapse the CDF-table cost (the host-side
+    bottleneck: each table row materializes one erf per symbol edge):
+
+    - MEAN-CENTERING: sym = round(x/Q) - round(mean/Q), coded against a
+      gaussian at mean - round(mean/Q)*Q. The shared table range shrinks
+      from the global value span to the residual spread (a 126K-anchor
+      scene's scaling stream was ~8600 symbols wide uncentered -> ~1h
+      host encode; centered it is a few hundred).
+    - WIDTH BUCKETING: rows are grouped by scale/Q (power-of-two buckets,
+      recomputed identically on decode) and each bucket's table spans only
+      ITS residual range, so one wide-sigma outlier row no longer widens
+      every other row's table.
+
+    Blob layout: u8 bucket count, then per bucket {i32 min, i32 max,
+    u32 nbytes}, then the concatenated per-bucket rANS streams.
+    """
+    import struct
     x = np.asarray(x, np.float64).ravel()
-    q_arr = np.broadcast_to(np.asarray(q, np.float64).ravel(), x.shape)
-    sym_val = np.round(x / q_arr).astype(np.int64)
-    min_v, max_v = int(sym_val.min()), int(sym_val.max())
-    cdf_q = _gaussian_cdf_q_rows(mean, scale, q_arr, min_v, max_v)
-    data = _encode_q((sym_val - min_v).astype(np.int32), cdf_q)
-    return data, min_v, max_v
-
-
-def decode_gaussian(data, mean, scale, q, min_v: int, max_v: int):
-    """Inverse of encode_gaussian -> dequantized float64 values."""
+    q_arr = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(q, np.float64).ravel(), x.shape))
     mean = np.asarray(mean, np.float64).ravel()
-    q_arr = np.broadcast_to(np.asarray(q, np.float64).ravel(), mean.shape)
-    cdf_q = _gaussian_cdf_q_rows(mean, scale, q_arr, min_v, max_v)
-    sym = _decode_q(data, cdf_q).astype(np.int64) + min_v
-    return sym.astype(np.float64) * q_arr
+    scale = np.maximum(np.asarray(scale, np.float64).ravel(), 1e-9)
+    center = np.round(mean / q_arr)          # decode recomputes this
+    mean_eff = mean - center * q_arr
+    sym_val = (np.round(x / q_arr) - center).astype(np.int64)
+
+    bid = _bucket_ids(scale, q_arr)
+    nb = len(_BUCKET_EDGES) + 1
+    header = [struct.pack('<B', nb)]
+    streams = []
+    for b in range(nb):
+        sel = np.nonzero(bid == b)[0]
+        if sel.size == 0:
+            header.append(struct.pack('<iiI', 0, -1, 0))
+            continue
+        s = sym_val[sel]
+        min_v, max_v = int(s.min()), int(s.max())
+        data = _encode_gauss_run((s - min_v).astype(np.int32),
+                                 mean_eff[sel], scale[sel], q_arr[sel],
+                                 min_v, max_v)
+        header.append(struct.pack('<iiI', min_v, max_v, len(data)))
+        streams.append(data)
+    return b''.join(header) + b''.join(streams)
+
+
+def decode_gaussian(data: bytes, mean, scale, q) -> np.ndarray:
+    """Inverse of encode_gaussian -> dequantized float64 values.
+
+    The bucket assignment and the centering round(mean/Q) are recomputed
+    from (mean, scale, Q) — identical float64 math to the encode side —
+    so the output (residual + center) * Q matches round(x/Q) * Q exactly.
+    """
+    import struct
+    mean = np.asarray(mean, np.float64).ravel()
+    q_arr = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(q, np.float64).ravel(), mean.shape))
+    scale = np.maximum(np.asarray(scale, np.float64).ravel(), 1e-9)
+    center = np.round(mean / q_arr)
+    mean_eff = mean - center * q_arr
+    bid = _bucket_ids(scale, q_arr)
+
+    nb = struct.unpack_from('<B', data, 0)[0]
+    metas = [struct.unpack_from('<iiI', data, 1 + 12 * b)
+             for b in range(nb)]
+    pos = 1 + 12 * nb
+    out = np.empty(mean.shape[0], np.float64)
+    for b, (min_v, max_v, nbytes) in enumerate(metas):
+        sel = np.nonzero(bid == b)[0]
+        if sel.size == 0:
+            pos += nbytes
+            continue
+        sym = _decode_gauss_run(data[pos:pos + nbytes], mean_eff[sel],
+                                scale[sel], q_arr[sel], min_v,
+                                max_v).astype(np.int64) + min_v
+        out[sel] = (sym.astype(np.float64) + center[sel]) * q_arr[sel]
+        pos += nbytes
+    return out
 
 
 def encode_binary(x, p_one) -> bytes:

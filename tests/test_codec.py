@@ -67,9 +67,54 @@ def test_gaussian_coder_roundtrip(rng):
     scale = rng.uniform(0.1, 2.0, n)
     q = np.full(n, 0.25)
     x = rng.normal(mean, scale)
-    data, mn, mx = rans.encode_gaussian(x, mean, scale, q)
-    out = rans.decode_gaussian(data, mean, scale, q, mn, mx)
+    data = rans.encode_gaussian(x, mean, scale, q)
+    out = rans.decode_gaussian(data, mean, scale, q)
     np.testing.assert_allclose(out, np.round(x / q) * q, atol=1e-12)
+
+
+def test_gaussian_coder_wide_spread(rng):
+    # means spread over thousands of quantization steps with one
+    # wide-sigma outlier row: exercises the mean-centered + width-bucketed
+    # path (a shared global table here would be ~40000 symbols wide)
+    n = 5000
+    mean = rng.normal(0, 5.0, n)
+    scale = rng.uniform(0.01, 0.1, n)
+    scale[7] = 30.0                      # huge-sigma outlier row
+    q = np.full(n, 0.001)
+    x = rng.normal(mean, scale)
+    data = rans.encode_gaussian(x, mean, scale, q)
+    out = rans.decode_gaussian(data, mean, scale, q)
+    np.testing.assert_allclose(out, np.round(x / q) * q, atol=1e-9)
+    # near-entropy size: residuals are ~N(0, scale), so about
+    # log2(sqrt(2*pi*e)*scale/q) bits per symbol
+    ent_bits = np.sum(np.log2(np.sqrt(2 * np.pi * np.e)
+                              * np.maximum(scale / q, 1.0)))
+    assert len(data) * 8 < ent_bits * 1.05 + 2048
+
+
+def test_gaussian_native_matches_python(rng):
+    # the native table-free path (on-the-fly CDF edges, native/rans.cpp
+    # rans_encode_gaussian) must produce the same bytes as the python
+    # table-building fallback — both sides share the Phi LUT
+    if rans._native_lib() is None:
+        pytest.skip("native coder unavailable")
+    n = 3000
+    mean = rng.normal(0, 2.0, n)
+    scale = rng.uniform(0.01, 1.0, n)
+    q = np.full(n, 0.01)
+    x = rng.normal(mean, scale)
+    data_native = rans.encode_gaussian(x, mean, scale, q)
+    lib, tried = rans._lib, rans._lib_tried
+    try:
+        rans._lib, rans._lib_tried = None, True
+        data_py = rans.encode_gaussian(x, mean, scale, q)
+        out_py = rans.decode_gaussian(data_native, mean, scale, q)
+    finally:
+        rans._lib, rans._lib_tried = lib, tried
+    assert data_native == data_py
+    np.testing.assert_allclose(out_py, np.round(x / q) * q, atol=1e-12)
+    out_native = rans.decode_gaussian(data_py, mean, scale, q)
+    np.testing.assert_allclose(out_native, np.round(x / q) * q, atol=1e-12)
 
 
 def test_binary_coder_roundtrip(rng):
