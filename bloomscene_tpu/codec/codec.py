@@ -101,6 +101,20 @@ def _context_params_np(model: Model, anchors: np.ndarray, cfg: GSConfig):
     return [np.concatenate(c, 0) if len(c) > 1 else c[0] for c in cols]
 
 
+def _context_digest(params) -> str:
+    """SHA-256 over the (clipped) context-param floats that condition the
+    rANS streams. Encode stores it in meta.json; decode recomputes and
+    compares. Any nondeterminism between the two sides — different
+    backend, different XLA version, a perturbed hash table — changes
+    these floats and would otherwise derail the entropy decoder into a
+    silently garbled scene; the digest turns that into a loud error."""
+    import hashlib
+    h = hashlib.sha256()
+    for a in params:
+        h.update(np.ascontiguousarray(a, np.float32).tobytes())
+    return h.hexdigest()
+
+
 def _alive_arrays(model: Model, cfg: GSConfig):
     """Compacted (host-side) per-anchor arrays for coding: only alive
     anchors whose child mask is non-empty (get_mask_anchor)."""
@@ -204,6 +218,8 @@ def encode_scene(model: Model, cfg: GSConfig, path: str) -> dict:
     scale_f = np.clip(scale_f, 1e-9, None)
     scale_s = np.clip(scale_s, 1e-9, None)
     scale_o = np.clip(scale_o, 1e-9, None)
+    meta['context_sha256'] = _context_digest(
+        (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o, q_f, q_s, q_o))
     feat_q = np.asarray(ste_multistep(
         jnp.asarray(arr['feat']), jnp.asarray(q_f), feat_mean))
     scaling_q = np.asarray(ste_multistep(
@@ -326,6 +342,18 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str) -> Model:
     scale_f = np.clip(scale_f, 1e-9, None)
     scale_s = np.clip(scale_s, 1e-9, None)
     scale_o = np.clip(scale_o, 1e-9, None)
+    if 'context_sha256' in meta:
+        got = _context_digest((mean_f, scale_f, mean_s, scale_s, mean_o,
+                               scale_o, q_f, q_s, q_o))
+        if got != meta['context_sha256']:
+            raise RuntimeError(
+                "decode_scene: context-model mismatch — the entropy "
+                f"parameters recomputed here (sha256 {got[:16]}…) differ "
+                f"from the encode side ({meta['context_sha256'][:16]}…). "
+                "Decoding would produce a silently garbled scene. Causes: "
+                "decoding on a different backend/XLA version than encode "
+                "(the context MLP floats are only backend-deterministic), "
+                "or corrupted checkpoint/hash-grid tables.")
 
     feat = np.zeros((n, F), np.float32)
     scaling = np.zeros((n, 6), np.float32)

@@ -109,6 +109,12 @@ class GSConfig:
     lambda_dep_value: float = 0.1
     lambda_dep_domin: float = 0.01
     lambda_dep_smooth: float = 0.1
+    # normalize the CMD (dep_domin) moment norms to RMS scale. The
+    # reference's raw-L2 CMD is ~500x a mean-based loss at 512^2, which
+    # is harmless there (its rasterizer has no depth backward,
+    # backward.cu:539-554) but swamps the RGB gradients here where depth
+    # gradients DO flow (train/losses.py cmd() docstring, DPR_AB.json).
+    cmd_normalized: bool = True
     # structured context compression (SCC) rate loss
     lambda_entropy: float = 0.001       # lambdae in run.py:51
 

@@ -96,21 +96,48 @@ def _grow_capacity(arr: np.ndarray, new_cap: int) -> np.ndarray:
     return out
 
 
+def _rows_not_in(query: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Vectorized per-row set membership: True where a row of ``query``
+    (already unique) does NOT appear among the rows of ``table``.
+
+    Sort-based (np.unique over the concatenation) — O((N+M) log(N+M))
+    and allocation-bound, replacing the former Python set of tuples
+    which rebuilt a hash set over ALL alive anchors per level per call
+    (the step-time ceiling at multi-million-anchor scale)."""
+    if table.shape[0] == 0:
+        return np.ones(query.shape[0], bool)
+    both = np.concatenate([table, query], 0)
+    _, inv = np.unique(both, axis=0, return_inverse=True)
+    in_table = np.zeros(int(inv.max()) + 1, bool)
+    in_table[inv[:table.shape[0]]] = True
+    return ~in_table[inv[table.shape[0]:]]
+
+
 def adjust_anchor(model: Model, stats: DensifyStats, opt_state,
                   cfg: GSConfig, voxel_size: float,
                   rng: np.random.Generator):
-    """Grow + prune (adjust_anchor, gaussian_model.py:898-952). Host-side.
+    """Grow + prune (adjust_anchor, gaussian_model.py:898-952).
 
-    Returns (model, stats, opt_state, info dict). ``opt_state`` has the Adam
-    moments of every changed slot zeroed; if capacity had to grow, all
-    capacity-sized leaves of model/stats/opt_state are zero-padded (the
-    caller should expect a re-jit).
+    Candidate selection runs on the host (numpy) but pulls only what it
+    reads: the [C] stats, the alive mask, the [C,3] anchors, and the
+    offset/scale/feat ROWS of anchors that have at least one
+    over-threshold child (usually a small fraction of C). All writes —
+    new-row scatter, alive flips, the cov-scale clamp, Adam-moment
+    zeroing — are device-side ``.at[]`` updates, so the big per-anchor
+    buffers (offsets, feats, and 2x Adam moments) never round-trip
+    through the host. Returns (model, stats, opt_state, info dict with
+    ``time_s``); if capacity had to grow, all capacity-sized leaves of
+    model/stats/opt_state are zero-padded (the caller should expect a
+    re-jit).
     """
-    st = jax.device_get(model.state)
-    s_np = {f: np.array(getattr(st, f)) for f in st._fields}
-    alive = s_np['alive'].astype(bool)
-    C, K = s_np['offset'].shape[:2]
+    import time as _time
+    t_start = _time.perf_counter()
+    st = model.state
+    C, K = st.capacity, st.n_offsets
 
+    alive = np.asarray(jax.device_get(st.alive)).astype(bool).copy()
+    anchor = np.asarray(jax.device_get(st._anchor),
+                        np.float32).reshape(C, 3)
     op_acc = np.array(stats.opacity_accum)
     demon = np.array(stats.anchor_demon)
     g_acc = np.array(stats.offset_grad_accum).reshape(C, K)
@@ -122,6 +149,25 @@ def adjust_anchor(model: Model, stats: DensifyStats, opt_state,
     offset_mask = g_den > (cfg.update_interval * cfg.success_threshold * 0.5)
     offset_mask &= alive[:, None]
 
+    # rows with any child over the LOWEST (level-0) threshold — the only
+    # rows whose offsets/scales/feats the grow loop can touch
+    cand_any = (grads >= cfg.densify_grad_threshold) & offset_mask
+    cand_rows = np.where(cand_any.any(1))[0]
+    M = cand_rows.size
+    if M:
+        ridx = jnp.asarray(cand_rows, jnp.int32)
+        off_rows = np.asarray(jax.device_get(
+            st._offset.reshape(C, -1)[ridx]), np.float32).reshape(M, K, 3)
+        scal_rows = np.exp(np.asarray(jax.device_get(
+            st._scaling_log.reshape(C, -1)[ridx]),
+            np.float32)[:, :3])
+        feat_rows = np.asarray(jax.device_get(
+            st._feat.reshape(C, -1)[ridx]), np.float32)
+        cand_xyz = (anchor[cand_rows][:, None, :]
+                    + off_rows * scal_rows[:, None, :])     # [M, K, 3]
+    r_grads = grads[cand_rows]
+    r_mask = offset_mask[cand_rows]
+
     # ---- grow (anchor_growing, :807-895) ----
     new_rows = {k: [] for k in
                 ('anchor', 'feat', 'scaling_log', 'offset', 'mask_logit',
@@ -129,26 +175,23 @@ def adjust_anchor(model: Model, stats: DensifyStats, opt_state,
     # dedup works against existing + newly added anchors, per level
     grown_anchors = []
 
-    for i in range(cfg.update_depth):
+    for i in range(cfg.update_depth if M else 0):
         cur_threshold = (cfg.densify_grad_threshold
                          * ((cfg.update_hierachy_factor // 2) ** i))
-        cand = (grads >= cur_threshold) & offset_mask
+        cand = (r_grads >= cur_threshold) & r_mask           # [M, K]
         cand &= rng.random(cand.shape) > 0.5 ** (i + 1)
         if not cand.any():
             continue
-        scal3 = np.exp(s_np['scaling_log'][:, :3])
-        all_xyz = (s_np['anchor'][:, None, :]
-                   + s_np['offset'] * scal3[:, None, :])
         size_factor = cfg.update_init_factor // (cfg.update_hierachy_factor
                                                  ** i)
         cur_size = voxel_size * size_factor
 
-        exist = s_np['anchor'][alive]
+        exist = anchor[alive]
         if grown_anchors:
             exist = np.concatenate([exist] + grown_anchors, 0)
         grid_coords = np.round(exist / cur_size).astype(np.int64)
 
-        sel_xyz = all_xyz[cand]                          # [M, 3]
+        sel_xyz = cand_xyz[cand]                             # [m, 3]
         # guard: exploding offsets*scales can produce non-finite candidate
         # positions; drop them instead of poisoning the voxel grid
         finite = np.isfinite(sel_xyz).all(1) \
@@ -163,12 +206,11 @@ def adjust_anchor(model: Model, stats: DensifyStats, opt_state,
         uniq, inverse = np.unique(sel_gc, axis=0, return_inverse=True)
 
         # remove voxels already occupied by an existing anchor
-        exist_set = {tuple(r) for r in grid_coords}
-        keep = np.array([tuple(r) not in exist_set for r in uniq], bool)
+        keep = _rows_not_in(uniq, grid_coords)
         if not keep.any():
             continue
 
-        cand_feat = np.repeat(s_np['feat'], K, axis=0).reshape(C, K, -1)[cand]
+        cand_feat = np.repeat(feat_rows, K, axis=0).reshape(M, K, -1)[cand]
         feat_max = np.full((uniq.shape[0], cand_feat.shape[1]), -np.inf,
                            np.float32)
         np.maximum.at(feat_max, inverse, cand_feat)
@@ -207,28 +249,38 @@ def adjust_anchor(model: Model, stats: DensifyStats, opt_state,
     alive[prune] = False
 
     # ---- place new anchors into free slots (grow capacity if needed) ----
-    s_np['alive'] = alive
     changed_slots = np.where(prune)[0].tolist()
+    old_capacity = C
     capacity_grown = False
+    state_leaves = {f: getattr(st, '_' + f)
+                    for f in AnchorState._fields if f != 'alive'}
     if n_new > 0:
         free = np.where(~alive)[0]
         if free.size < n_new:
             from .anchors import capacity_bucket
             new_cap = capacity_bucket(int((C + n_new) * 1.25))
-            for f in s_np:
-                s_np[f] = _grow_capacity(s_np[f], new_cap)
+            pad_n = new_cap - C
+            state_leaves = {
+                f: jnp.concatenate([
+                    v, jnp.zeros(pad_n * (v.size // C), v.dtype)])
+                for f, v in state_leaves.items()}
             op_acc = _grow_capacity(op_acc, new_cap)
             demon = _grow_capacity(demon, new_cap)
             g_acc = _grow_capacity(g_acc, new_cap)
             g_den = _grow_capacity(g_den, new_cap)
-            alive = s_np['alive'].astype(bool)
+            alive = np.concatenate([alive, np.zeros(pad_n, bool)])
+            anchor = np.concatenate(
+                [anchor, np.zeros((pad_n, 3), np.float32)])
             free = np.where(~alive)[0]
             capacity_grown = True
             C = new_cap
         slots = free[:n_new]
         cat = {k: np.concatenate(v, 0) for k, v in new_rows.items()}
-        for k, v in cat.items():
-            s_np[k][slots] = v
+        jslots = jnp.asarray(slots, jnp.int32)
+        state_leaves = {
+            f: v.reshape(C, -1).at[jslots].set(
+                jnp.asarray(cat[f].reshape(n_new, -1))).reshape(-1)
+            for f, v in state_leaves.items()}
         alive[slots] = True
         op_acc[slots] = 0
         demon[slots] = 0
@@ -236,26 +288,27 @@ def adjust_anchor(model: Model, stats: DensifyStats, opt_state,
         g_den[slots] = 0
         changed_slots.extend(slots.tolist())
 
-    s_np['alive'] = alive
     # reference clamps cov log-scales at 0.05 during the optimizer prune
     # surgery, which runs AFTER growing — so freshly grown anchors are
     # clamped too (gaussian_model.py:775-787, prune_anchor at :949-950)
-    s_np['scaling_log'][:, 3:] = np.minimum(s_np['scaling_log'][:, 3:], 0.05)
-    new_state = AnchorState(**{f: jnp.asarray(s_np[f])
-                               for f in AnchorState._fields})
+    sl = state_leaves['scaling_log'].reshape(C, 6)
+    state_leaves['scaling_log'] = sl.at[:, 3:].set(
+        jnp.minimum(sl[:, 3:], 0.05)).reshape(-1)
+    new_state = AnchorState(alive=jnp.asarray(alive), **state_leaves)
     new_stats = DensifyStats(opacity_accum=jnp.asarray(op_acc),
                              anchor_demon=jnp.asarray(demon),
                              offset_grad_accum=jnp.asarray(g_acc.ravel()),
                              offset_denom=jnp.asarray(g_den.ravel()))
 
     # ---- Adam moment surgery ----
-    opt_state = _surgery_opt_state(opt_state, model.state.capacity, C,
+    opt_state = _surgery_opt_state(opt_state, old_capacity, C,
                                    np.asarray(changed_slots, np.int64))
 
     model = model._replace(state=new_state)
     info = dict(n_new=n_new, n_pruned=int(prune.sum()),
                 n_alive=int(alive.sum()), capacity=C,
-                capacity_grown=capacity_grown)
+                capacity_grown=capacity_grown,
+                time_s=round(_time.perf_counter() - t_start, 4))
     return model, new_stats, opt_state, info
 
 
@@ -271,21 +324,26 @@ def _surgery_opt_state(opt_state, old_capacity: int, new_capacity: int,
     parameter groups (PER_ANCHOR_GROUPS), where every array leaf mirrors
     a FLAT per-anchor param ([C*k] — AnchorState stores flat leaves) —
     never the MLP or hash-table groups. Each leaf is viewed as
-    [capacity, k] for row surgery, then re-flattened."""
+    [capacity, k] for row surgery, then re-flattened. All updates are
+    device-side (.at[] scatter / concat-pad): the Adam moments are the
+    two LARGEST per-anchor buffers and must not round-trip the host."""
+    jchanged = jnp.asarray(changed, jnp.int32) if changed.size else None
+
     def fix(leaf):
         if not hasattr(leaf, 'shape') or getattr(leaf, 'ndim', 0) == 0:
             return leaf
-        if not np.issubdtype(np.asarray(leaf).dtype, np.floating):
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
             return leaf
-        arr = np.array(leaf)
-        if arr.size % old_capacity:
+        if leaf.size % old_capacity:
             return leaf                      # not a per-anchor moment
-        arr = arr.reshape(old_capacity, -1)
+        arr = leaf.reshape(old_capacity, -1)
         if old_capacity < new_capacity:
-            arr = _grow_capacity(arr, new_capacity)
-        if changed.size:
-            arr[changed] = 0
-        return jnp.asarray(arr.reshape(-1))
+            arr = jnp.concatenate([
+                arr, jnp.zeros((new_capacity - old_capacity, arr.shape[1]),
+                               arr.dtype)])
+        if jchanged is not None:
+            arr = arr.at[jchanged].set(0.0)
+        return arr.reshape(-1)
 
     inner = dict(opt_state.inner_states)
     for g in PER_ANCHOR_GROUPS:

@@ -209,23 +209,49 @@ class BloomScene:
         return sizes
 
     # ---- rendering ----
-    def _render_model(self, model: Model, cameras, mode: str = 'eval'):
-        frames_rgb, frames_depth = [], []
+    def _render_model(self, model: Model, cameras, mode: str = 'eval',
+                      chunk: int = 10):
+        """Render a camera list in chunked single-dispatch batches.
+
+        Frames are independent, so instead of one jit call per frame
+        (each paying host-dispatch latency through the serialized relay —
+        the reference's per-view loop, bloomscene.py:389-421) the cameras
+        are stacked and rendered ``chunk`` at a time by ONE jitted
+        ``lax.map`` (sequential on-chip, single-frame memory footprint).
+        The trailing partial chunk is padded by repeating the last camera
+        and the extra frames dropped. fps excludes the first (compiling)
+        chunk when more than one chunk runs.
+        """
         intr = cameras[0].intrinsics
-        rfun = jax.jit(
-            lambda m, c: render(m, intr, c, self.cfg, phase=0, mode=mode),
-            static_argnames=())
-        times = []
-        for cam in cameras:
-            arrs = cam.device_arrays()
+        n = len(cameras)
+        chunk = max(1, min(chunk, n))
+        arrs = [c.device_arrays() for c in cameras]
+        pad = (-n) % chunk
+        arrs = arrs + [arrs[-1]] * pad
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *arrs)
+
+        @jax.jit
+        def render_chunk(m, cams):
+            def one(cam):
+                res = render(m, intr, cam, self.cfg, phase=0, mode=mode)
+                return res.out.color, res.out.depth
+            return jax.lax.map(one, cams)
+
+        frames_rgb, frames_depth, times = [], [], []
+        for s in range(0, n, chunk):
+            cams_c = jax.tree.map(lambda x: x[s:s + chunk], stacked)
             t0 = time.time()
-            res = rfun(model, arrs)
-            jax.block_until_ready(res.out.color)
+            colors, depths = render_chunk(model, cams_c)
+            jax.block_until_ready(colors)
             times.append(time.time() - t0)
-            frames_rgb.append(np.clip(np.asarray(res.out.color), 0, 1))
-            frames_depth.append(np.asarray(res.out.depth))
-        fps = 1.0 / np.mean(times[5:]) if len(times) > 5 else \
-            1.0 / max(np.mean(times), 1e-9)
+            colors = np.asarray(colors)
+            depths = np.asarray(depths)
+            for i in range(min(chunk, n - s)):
+                frames_rgb.append(np.clip(colors[i], 0, 1))
+                frames_depth.append(depths[i])
+        timed = times[1:] if len(times) > 1 else times
+        n_timed = len(timed) * chunk
+        fps = n_timed / max(sum(timed), 1e-9)
         return frames_rgb, frames_depth, float(fps)
 
     def render_video(self, preset: str = 'rotate360',

@@ -70,7 +70,7 @@ def compute_losses(res, gt_image, gt_depth, cfg: GSConfig):
         dep_value = cfg.lambda_dep_value * losses.huber_l1_edge_aware(
             rd, gt_d, gt_image)
         dep_domin = cfg.lambda_dep_domin * losses.cmd(
-            rd[None], gt_d[None, None])
+            rd[None], gt_d[None, None], normalized=cfg.cmd_normalized)
         dep_smooth = cfg.lambda_dep_smooth * losses.bilateral_smoothness(rd)
         loss = loss + dep_value + dep_domin + dep_smooth
 

@@ -69,25 +69,43 @@ def ssim(img1, img2, window_size: int = 11):
     return jnp.mean(ssim_map)
 
 
-def _matchnorm(x1, x2):
+def _matchnorm(x1, x2, normalized: bool = False):
     power = jnp.minimum((jnp.abs(x1 - x2) + 1e-6) ** 2, 1e6)
+    if normalized:
+        # RMS instead of the reference's raw L2 sum — see cmd() docstring
+        return jnp.sqrt(jnp.mean(power) + 1e-6)
     summed = jnp.minimum(jnp.sum(power), 1e6)
     return jnp.sqrt(summed + 1e-6)
 
 
-def cmd(x1, x2, n_moments: int = 5):
-    """Central moment discrepancy between leading-axis batches."""
+def cmd(x1, x2, n_moments: int = 5, normalized: bool = False):
+    """Central moment discrepancy between leading-axis batches.
+
+    ``normalized=False`` reproduces the reference exactly (loss.py:26-60):
+    the moment-difference norm is an UN-normalized L2 sum over all pixels,
+    so on a 512x512 depth map the value (and its gradient-norm) is ~500x
+    a mean-based loss. The reference can afford that because its
+    rasterizer's depth backward is disabled (backward.cu:539-554) — the
+    CMD term never produces parameter gradients there. This build
+    implements the full depth backward (BASELINE.json north star), so
+    reference scaling lets dep_domin swamp the RGB loss by ~50x and
+    training oscillates (measured: RUN_r03 loss_dep_domin 8-23 vs
+    loss_rgb 0.2-0.35, final PSNR 10.4; with DPR off, 20.8 — DPR_AB.json).
+    ``normalized=True`` replaces each L2 sum with an RMS (mean-based)
+    norm, making the loss scale resolution-independent and commensurate
+    with L1/SSIM; use it whenever depth gradients actually flow.
+    """
     x1 = jnp.clip(x1, -1e6, 1e6)
     x2 = jnp.clip(x2, -1e6, 1e6)
     mx1 = jnp.mean(x1, 0)
     mx2 = jnp.mean(x2, 0)
     sx1 = x1 - mx1
     sx2 = x2 - mx2
-    scms = _matchnorm(mx1, mx2)
+    scms = _matchnorm(mx1, mx2, normalized)
     for k in range(2, n_moments + 1):
         ss1 = jnp.mean((jnp.abs(sx1) + 1e-6) ** k, 0)
         ss2 = jnp.mean((jnp.abs(sx2) + 1e-6) ** k, 0)
-        scms = scms + _matchnorm(ss1, ss2)
+        scms = scms + _matchnorm(ss1, ss2, normalized)
     return scms / x1.shape[0]
 
 

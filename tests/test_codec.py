@@ -190,3 +190,37 @@ def test_scene_codec_roundtrip(tmp_path, rng):
             with open(os.path.join(path, fn), 'rb') as f1, \
                  open(os.path.join(path2, fn), 'rb') as f2:
                 assert f1.read() == f2.read(), f"stream {fn} differs"
+
+
+def test_decode_detects_context_mismatch(tmp_path, rng):
+    """A perturbed context model (here: one hash-table float flipped hard
+    enough to change its binarization) must fail LOUDLY at decode, not
+    produce a silently garbled scene (codec.py _context_digest)."""
+    cfg = GSConfig(voxel_size=0.1)
+    pts = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    pts[:, 2] += 2.5
+    model, _ = init_model(jax.random.PRNGKey(0), pts, cfg)
+    model = model._replace(state=model.state._replace(
+        feat=jnp.asarray(rng.normal(0, 1, (model.state.capacity,
+                                           cfg.feat_dim)), jnp.float32)))
+    model = model._replace(bounds=update_anchor_bounds(model.state))
+    path = str(tmp_path / "bitstreams")
+    encode_scene(model, cfg, path)
+
+    # corrupt the context model: perturb one grid-MLP weight. (The hash
+    # TABLES ride in the bitstream and are replaced at decode, so the
+    # mismatch surface is the MLP-head checkpoint + backend numerics.)
+    heads = dict(model.heads)
+    layers = [dict(layer) for layer in heads['grid']]
+    w = np.array(layers[0]['w'])
+    w.reshape(-1)[3] += 0.25
+    layers[0]['w'] = jnp.asarray(w)
+    heads['grid'] = layers
+    bad = model._replace(heads=heads)
+
+    with pytest.raises(RuntimeError, match="context-model mismatch"):
+        decode_scene(bad, cfg, path)
+
+    # the pristine shell still decodes fine
+    decoded = decode_scene(model, cfg, path)
+    assert int(decoded.state.num_alive()) > 0

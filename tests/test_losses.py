@@ -79,6 +79,29 @@ def test_cmd_matches_torch():
     assert abs(ours - expected) < 1e-4
 
 
+def test_cmd_normalized_is_resolution_independent():
+    """normalized=True replaces the L2 sums with RMS norms: for a batch
+    of 1 (the training shapes) the value equals the raw-CMD value divided
+    by sqrt(numel), so its scale no longer grows with resolution and stays
+    commensurate with L1/SSIM (losses.py cmd docstring)."""
+    rng = np.random.default_rng(7)
+    vals = {}
+    for n in (16, 64):
+        x1 = rng.uniform(0, 1, (1, n, n)).astype(np.float32)
+        x2 = rng.uniform(0, 1, (1, 1, n, n)).astype(np.float32)
+        raw = float(losses.cmd(jnp.asarray(x1), jnp.asarray(x2)))
+        norm = float(losses.cmd(jnp.asarray(x1), jnp.asarray(x2),
+                                normalized=True))
+        # (loose: the 1e-6 eps inside sqrt scales differently per mode)
+        assert abs(norm - raw / n) < 0.01
+        vals[n] = (raw, norm)
+    # raw CMD grows ~linearly with side length; normalized stays flat
+    assert vals[64][0] > 3.0 * vals[16][0]
+    assert abs(vals[64][1] - vals[16][1]) < 0.1
+    # and the normalized value is O(rms diff), i.e. same ballpark as L1
+    assert vals[64][1] < 1.0
+
+
 def test_bilateral_smoothness_zero_for_constant():
     d = jnp.full((16, 16), 2.0)
     assert float(losses.bilateral_smoothness(d)) < 1e-10
