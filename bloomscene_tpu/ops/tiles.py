@@ -223,7 +223,8 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
                grad_index: bool = False,
                need_entries: bool = True,
                attr_rows: jnp.ndarray | None = None,
-               tile_shards: int = 1) -> TileBins:
+               tile_shards: int = 1,
+               force_pairs_kernel: bool = False) -> TileBins:
     """Build per-tile depth-sorted splat lists (static shapes throughout).
 
     ``opacities`` (optional, [N], stop-gradient values) enables the
@@ -280,7 +281,12 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     # The three 9-bit rect fields ride in ONE packed i32 payload (sort
     # cost is per-operand per-pass).
     width = jnp.maximum(x1 - x0, 1)
-    key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    # zero-touched splats (invalid OR rect/opacity-culled) sort to the
+    # tail: they emit no pairs either way, and pushing them out of the
+    # live prefix makes the rank space GAP-FREE — B consecutive pair
+    # slots then touch at most B+1 consecutive ranks, the bounded-window
+    # property the Pallas pair-expansion kernel needs (ops/pallas/pairs).
+    key = jnp.where(touched > 0, proj.depth, jnp.inf)
     pack_rect4 = gx <= 127 and gy <= 127
     pack_rect = gx <= 511 and gy <= 511
     if pack_rect4:
@@ -317,6 +323,43 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     total = offsets[-1]
     starts = offsets - touched_s                       # exclusive cumsum
 
+    kbits = max(1, pair_capacity - 1).bit_length()
+    packed_key_ok = kbits < 31 and (num_tiles + 1) < (1 << (31 - kbits))
+
+    # Pallas pair-expansion kernel (ops/pallas/pairs.py): emits the
+    # packed tile-sort key + gaussian id per pair slot directly, skipping
+    # the marker-scatter/cummax rank recovery and every pair-sized
+    # random gather below. Exact for keys/ids (digit-split bf16 MXU
+    # expansion); the cull margin is wider (0.02 vs 1e-3), which can only
+    # KEEP more never-contributing pairs — outputs/grads are unchanged.
+    keyi_kernel = None
+    if opacities is not None and pack_rect4 and packed_key_ok:
+        from .pallas.pairs import expand_pairs
+        atab_f = jnp.stack([
+            proj.mean2d[:, 0], proj.mean2d[:, 1], proj.conic[:, 0],
+            proj.conic[:, 1], proj.conic[:, 2],
+            jnp.log(jnp.maximum(255.0 * opacities, 1e-12))], 0)
+        atab_rk = jnp.take(atab_f, order, axis=1)            # [6, n]
+        starts_full = jnp.minimum(
+            jnp.concatenate([starts, total[None]]),
+            jnp.int32(pair_capacity))
+        kout = expand_pairs(
+            starts_full, x0_s, y0_s, w_s, order,
+            atab_rk[0], atab_rk[1], atab_rk[2], atab_rk[3], atab_rk[4],
+            atab_rk[5], pair_capacity, gx, tile, kbits, num_tiles,
+            force_pallas=force_pairs_kernel)
+        if kout is not None:
+            keyi_kernel, gauss_kernel, num_packed_kernel = kout
+
+    n_att = 0 if attr_rows is None else attr_rows.shape[0]
+    k = jnp.arange(pair_capacity, dtype=jnp.int32)
+    if keyi_kernel is not None:
+        return _finish_bins(
+            pair_capacity, tile_capacity, packed_capacity, grad_index,
+            need_entries, attr_rows, tile_shards, num_tiles, n_att,
+            kbits, total, order, starts, offsets, gauss_kernel,
+            num_packed_kernel, keyi=keyi_kernel)
+
     # pair slot k -> owning RANK (depth-order index). Equivalent to
     # searchsorted(offsets, k, 'right') but O(P) scatter + cummax instead of
     # P binary searches (searchsorted was ~100ms at 800K pairs on TPU):
@@ -340,7 +383,6 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     # [n]-sized re-key to rank order replaces a second full-P gather —
     # gather cost is dominated by index processing, not extra rows.
     atab_s = None
-    n_att = 0 if attr_rows is None else attr_rows.shape[0]
     if opacities is not None:
         atab = jnp.stack([
             proj.mean2d[:, 0], proj.mean2d[:, 1], proj.conic[:, 0],
@@ -422,7 +464,24 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
         pair_live = pair_valid
     tile_id = jnp.where(pair_live, ty * gx + tx, num_tiles).astype(jnp.int32)
     num_packed = jnp.sum(pair_live.astype(jnp.int32))
+    return _finish_bins(
+        pair_capacity, tile_capacity, packed_capacity, grad_index,
+        need_entries, attr_rows, tile_shards, num_tiles, n_att, kbits,
+        total, order, starts, offsets, gauss_o, num_packed,
+        keyi=None, tile_id=tile_id, k=k)
 
+
+def _finish_bins(pair_capacity, tile_capacity, packed_capacity, grad_index,
+                 need_entries, attr_rows, tile_shards, num_tiles, n_att,
+                 kbits, total, order, starts, offsets, gauss_o, num_packed,
+                 keyi=None, tile_id=None, k=None):
+    """Tile sort -> ranges -> grad index/slab -> entries -> TileBins.
+
+    Shared tail of ``bin_splats``: reached either from the XLA pair path
+    (``tile_id``/``k`` given, the packed key is built here) or from the
+    Pallas pair-expansion kernel (``keyi`` given directly; that path
+    only exists under the packed-key branch's preconditions).
+    """
     # sort by tile; emission order IS depth order, so within a tile pairs
     # come out front-to-back. Culled pairs carry tile_id == num_tiles and
     # sort to the tail, past packed_capacity.
@@ -433,13 +492,13 @@ def bin_splats(proj: ProjectedSplats, W: int, H: int, tile: int,
     # at bench size (221K pairs), far worse than the post-sort gather
     # below (sort payload cost is NOT the per-operand ~0.1 ms a
     # standalone measurement suggests once in the full-step context).
-    kbits = max(1, pair_capacity - 1).bit_length()
     if kbits < 31 and (num_tiles + 1) < (1 << (31 - kbits)):
         # UNIQUE single-key sort (tile << kbits | emission slot): the
         # embedded slot makes keys distinct, so an unstable sort is
         # deterministic AND skips the hidden iota operand XLA adds to
         # stabilize — one fewer 32-bit column through every sort pass.
-        keyi = (tile_id << kbits) | k
+        if keyi is None:
+            keyi = (tile_id << kbits) | k
         key_s, gauss_s = lax.sort((keyi, gauss_o), num_keys=1,
                                   is_stable=False)
         eslot_s = key_s & ((1 << kbits) - 1)
