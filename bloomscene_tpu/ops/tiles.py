@@ -38,6 +38,29 @@ from jax import lax
 
 from .projection import ProjectedSplats
 
+# In-context formulation of the [10, packed_capacity] slab-attribute
+# gather (dev knob, see bench_incontext.py): 0 = plain take, 1 = take +
+# optimization_barrier, 2 = row-form take + barrier + transpose,
+# 3 = per-row 1D takes.
+ATTR_GATHER_MODE = 0
+# Same knob for the gradient-reduction gather in ops/pallas/wrapper.py.
+GRAD_GATHER_MODE = 0
+
+
+def _gather_rows(table, idx, mode: int):
+    """table [R, N] -> [R, len(idx)] under the selected formulation."""
+    if mode == 2:
+        rows = jnp.take(table.T, idx, axis=0)            # [P, R]
+        (rows,) = lax.optimization_barrier((rows,))
+        return rows.T
+    if mode == 3:
+        return jnp.stack([jnp.take(table[i], idx)
+                          for i in range(table.shape[0])], 0)
+    out = jnp.take(table, idx, axis=1)
+    if mode == 1:
+        (out,) = lax.optimization_barrier((out,))
+    return out
+
 
 class TileBins(NamedTuple):
     entries: jnp.ndarray        # [num_tiles, tile_capacity] int32 gaussian ids
@@ -581,7 +604,8 @@ def _finish_bins(pair_capacity, tile_capacity, packed_capacity, grad_index,
             # kernels index the middle slot dim; no transpose, no pad
             # rows. The zero tail keeps beyond-range slots exact zeros.
             from .pallas.expand import expand_slab
-            attrs_sT = jnp.take(attr_rows, gauss_s, axis=1)   # [10, PCp]
+            attrs_sT = _gather_rows(attr_rows, gauss_s,
+                                    ATTR_GATHER_MODE)     # [10, PCp]
             asT = jnp.concatenate(
                 [attrs_sT, jnp.zeros((n_att, tile_capacity), jnp.float32)],
                 axis=1)
