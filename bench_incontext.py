@@ -45,7 +45,7 @@ def measure(label):
 
 
 if __name__ == '__main__':
-    combos = [(0, 0), (1, 0), (2, 0), (3, 0),
+    combos = [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0),
               (0, 1), (0, 2), (0, 3), (0, 0)]
     if len(sys.argv) > 1:
         combos = [tuple(int(x) for x in c.split(','))

@@ -20,7 +20,11 @@ formulation:
 2. Per-Gaussian tile rectangle (same rounding as getRect, auxiliary.h:46-56).
 3. Pair expansion into a *static-capacity* pair buffer: pair slot k maps to
    (gaussian, local tile) via a marker-scatter + running-max over the
-   exclusive cumsum of tiles_touched — no dynamic allocation.
+   exclusive cumsum of tiles_touched — no dynamic allocation. On TPU,
+   when the packed-rect preconditions hold, a Mosaic kernel
+   (ops/pallas/pairs.py) replaces this chain, expanding rank->pair
+   values with a one-hot MXU contraction over a VMEM-resident rank
+   table (same outputs; see its module docstring).
 4. Stable single-key sort by tile id (jax.lax.sort).
 5. Tile ranges via searchsorted, then a fixed-capacity per-tile gather.
 
@@ -604,11 +608,22 @@ def _finish_bins(pair_capacity, tile_capacity, packed_capacity, grad_index,
             # kernels index the middle slot dim; no transpose, no pad
             # rows. The zero tail keeps beyond-range slots exact zeros.
             from .pallas.expand import expand_slab
-            attrs_sT = _gather_rows(attr_rows, gauss_s,
-                                    ATTR_GATHER_MODE)     # [10, PCp]
-            asT = jnp.concatenate(
-                [attrs_sT, jnp.zeros((n_att, tile_capacity), jnp.float32)],
-                axis=1)
+            if ATTR_GATHER_MODE == 4:
+                # padded-index form: the zero tail is GATHERED from one
+                # appended zero column instead of concatenated after —
+                # one [PCp+cap]-index gather, no 8 MB concat copy
+                nsp = attr_rows.shape[1]
+                tab_z = jnp.pad(attr_rows, ((0, 0), (0, 1)))
+                idx_pad = jnp.concatenate(
+                    [gauss_s, jnp.full((tile_capacity,), nsp, jnp.int32)])
+                asT = jnp.take(tab_z, idx_pad, axis=1)    # [10, PCp+cap]
+            else:
+                attrs_sT = _gather_rows(attr_rows, gauss_s,
+                                        ATTR_GATHER_MODE)  # [10, PCp]
+                asT = jnp.concatenate(
+                    [attrs_sT,
+                     jnp.zeros((n_att, tile_capacity), jnp.float32)],
+                    axis=1)
             slab = expand_slab(asT, t_start[perm], tile_capacity,
                                num_tiles)
 
