@@ -19,7 +19,8 @@ How the rank -> pair expansion becomes a matmul (the trick):
       onehot[j, r] = (starts[r] <= k_j) & (k_j < starts[r+1])
   has exactly one nonzero per live pair row, so every per-rank row
   expands to per-pair values with ONE MXU contraction
-      out[16, B] = tab_window[16, RW] . onehot[B, RW]^T.
+      out[24, B] = tab_window[24, RW] . onehot[B, RW]^T
+  (rows 22-23 are sublane-alignment zeros).
 - Integer rows (range starts, Gaussian ids) are split into base-256
   digit rows — each digit is bf16-exact, the one-hot contraction has a
   single nonzero term per output, and the f32 digit recombination is
@@ -29,11 +30,16 @@ How the rank -> pair expansion becomes a matmul (the trick):
   bf16(x - hi)); because the one-hot contraction has a single nonzero
   term per output there is no accumulation rounding, so the recombined
   f32 value carries ~2^-17 relative error. The cull threshold margin is
-  widened from 1e-3 to CULL_MARGIN = 0.02 to absorb it: the kernel may
-  KEEP a few more pairs than the f32 XLA path (all of which blend to
-  exactly zero by the alpha >= 1/255 test — forward.cu:427-432), it can
-  never drop a contributing one. Rendered outputs and gradients stay
-  bitwise identical; only the packed pair count can differ slightly.
+  widened from 1e-3 to CULL_MARGIN = 0.02 to absorb it: in the common
+  case the kernel only KEEPS a few more pairs than the f32 XLA path
+  (all of which blend to exactly zero by the alpha >= 1/255 test —
+  forward.cu:427-432). Bounded-error caveat: the fixed margin absorbs
+  the ~2^-17 relative input error only while the conic quadratic's term
+  magnitudes stay below ~2.5e3; for very anisotropic conics
+  (eigenvalue ratio >~450, i.e. ~21:1 splat aspect) cancellation can
+  push the perturbation past 0.02 and drop a pair the f32 path keeps.
+  Any such pair's contribution is within ~2% of the 1/255 alpha floor,
+  so outputs/gradients agree to that bound rather than bitwise.
 
 Reference semantics being reproduced: duplicateWithKeys + the getRect
 tile walk (rasterizer_impl.cu:70-111, auxiliary.h:46-56) with the
@@ -129,12 +135,12 @@ def _pairs_subblock(B: int, RW: int, gx: int, tile: int, kbits: int,
             .astype(jnp.float32))
     onehot = ((sw <= kcol) & (kcol < swp)).astype(jnp.bfloat16)  # [B, RW]
 
-    # [16, RW] . [B, RW]^T -> [16, B]; exactly one nonzero per output
+    # [24, RW] . [B, RW]^T -> [24, B]; exactly one nonzero per output
     # element for live pairs, so bf16 operands with f32 accumulation are
     # exact for the digit rows.
     out = jax.lax.dot_general(
         tabw16, onehot, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # [16, B]
+        preferred_element_type=jnp.float32)                  # [24, B]
 
     starts_g = out[0:1] * 65536.0 + out[1:2] * 256.0 + out[2:3]
     gauss = (out[3:4] * 65536.0 + out[4:5] * 256.0

@@ -45,7 +45,8 @@ from .projection import ProjectedSplats
 # In-context formulation of the [10, packed_capacity] slab-attribute
 # gather (dev knob, see bench_incontext.py): 0 = plain take, 1 = take +
 # optimization_barrier, 2 = row-form take + barrier + transpose,
-# 3 = per-row 1D takes.
+# 3 = per-row 1D takes, 4 = padded-index gather (zero tail gathered
+# from an appended zero column; see _finish_bins).
 ATTR_GATHER_MODE = 0
 # Same knob for the gradient-reduction gather in ops/pallas/wrapper.py.
 GRAD_GATHER_MODE = 0

@@ -110,7 +110,8 @@ def ring_render(proj: ProjectedSplats, colors: jnp.ndarray,
     D = mesh.shape[axis]
     n = proj.mean2d.shape[0]
     if H % D or n % D:
-        raise ValueError(f"H={H} and n={n} must divide the ring size {D}")
+        raise ValueError(
+            f"H={H} and n={n} must be divisible by the ring size {D}")
     hs = H // D
 
     # Global depth order -> contiguous slices; slice d = rows [d*n/D, ...).
