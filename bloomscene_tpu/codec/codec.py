@@ -83,15 +83,38 @@ _context_params_jit = jax.jit(_context_params, static_argnames=('cfg',))
 MEGACHUNK = 64 * CHUNK
 
 
+def _cpu_device():
+    return jax.devices('cpu')[0]
+
+
+def _slim_for_context(model: Model) -> Model:
+    """Model with per-anchor state cut to one row: the context path only
+    reads heads/grid/bounds, and the slim state keeps the host-CPU
+    transfer below a kilobyte instead of shipping the full (possibly
+    device-resident) anchor arrays through a TPU relay."""
+    tiny = jax.tree.map(lambda x: x[:1], model.state)
+    return model._replace(state=tiny)
+
+
 def _context_params_np(model: Model, anchors: np.ndarray, cfg: GSConfig):
     """Context params for ALL anchors as host arrays, computed in
-    MEGACHUNK-sized jitted dispatches (identical on encode and decode)."""
+    MEGACHUNK-sized jitted dispatches (identical on encode and decode).
+
+    Always runs on the host CPU backend: the codec is a checkpoint-time
+    host pipeline, and pulling ~80 MB of entropy params back through a
+    TPU relay dominated wall time (RUN_r04: 395 s encode+decode at 110K
+    anchors vs ~20 s host-side). CPU floats are also host-portable —
+    any machine can decode the bitstream; the context digest still
+    guards encode/decode consistency.
+    """
+    cpu = _cpu_device()
+    slim = jax.device_put(_slim_for_context(model), cpu)
     n = anchors.shape[0]
     cols = None
     for lo in range(0, n, MEGACHUNK):
-        part = _context_params_jit(
-            model, jnp.asarray(anchors[lo:lo + MEGACHUNK], jnp.float32),
-            cfg)
+        chunk = jax.device_put(
+            jnp.asarray(anchors[lo:lo + MEGACHUNK], jnp.float32), cpu)
+        part = _context_params_jit(slim, chunk, cfg)
         part = [np.asarray(p) for p in part]
         if cols is None:
             cols = [[p] for p in part]
@@ -99,6 +122,20 @@ def _context_params_np(model: Model, anchors: np.ndarray, cfg: GSConfig):
             for c, p in zip(cols, part):
                 c.append(p)
     return [np.concatenate(c, 0) if len(c) > 1 else c[0] for c in cols]
+
+
+# host-CPU quantizer dispatch (same reasoning as _context_params_np: the
+# ste_multistep rounding of full [n, F]/[n, 6]/[n, 3K] arrays is
+# checkpoint-time host work; f32 jnp semantics preserved)
+_ste_multistep_cpu = jax.jit(ste_multistep)
+
+
+def _quantize_np(x: np.ndarray, q: np.ndarray, mean: float) -> np.ndarray:
+    cpu = _cpu_device()
+    return np.asarray(_ste_multistep_cpu(
+        jax.device_put(jnp.asarray(x, jnp.float32), cpu),
+        jax.device_put(jnp.asarray(q, jnp.float32), cpu),
+        jnp.float32(mean)))
 
 
 def _context_digest(params) -> str:
@@ -207,12 +244,13 @@ def encode_scene(model: Model, cfg: GSConfig, path: str) -> dict:
 
     # per-stream symbol ranges ride inside each .b blob (bucketed header,
     # codec/rans.py encode_gaussian) rather than in meta
-    meta = {'n': int(n), 'chunk': CHUNK}
+    meta = {'n': int(n), 'chunk': CHUNK, 'backend': 'cpu'}
     feat_mean = float(arr['feat'].mean())
     scaling_mean = float(arr['scaling'].mean())
     offsets_mean = float(arr['offsets'].mean())
     bit_feat = bit_scaling = bit_offsets = 0
 
+    t_ctx = time.time()
     (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
      q_f, q_s, q_o) = _context_params_np(model, arr['anchor'], cfg)
     scale_f = np.clip(scale_f, 1e-9, None)
@@ -220,14 +258,16 @@ def encode_scene(model: Model, cfg: GSConfig, path: str) -> dict:
     scale_o = np.clip(scale_o, 1e-9, None)
     meta['context_sha256'] = _context_digest(
         (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o, q_f, q_s, q_o))
-    feat_q = np.asarray(ste_multistep(
-        jnp.asarray(arr['feat']), jnp.asarray(q_f), feat_mean))
-    scaling_q = np.asarray(ste_multistep(
-        jnp.asarray(arr['scaling']), jnp.asarray(q_s), scaling_mean))
-    offsets_q = np.asarray(ste_multistep(
-        jnp.asarray(arr['offsets']), jnp.asarray(q_o)[:, :, None],
-        offsets_mean)).reshape(n, -1)
+    context_s = time.time() - t_ctx
 
+    t_q = time.time()
+    feat_q = _quantize_np(arr['feat'], q_f, feat_mean)
+    scaling_q = _quantize_np(arr['scaling'], q_s, scaling_mean)
+    offsets_q = _quantize_np(arr['offsets'], q_o[:, :, None],
+                             offsets_mean).reshape(n, -1)
+    quantize_s = time.time() - t_q
+
+    t_rans = time.time()
     for s in range(steps):
         lo, hi = s * CHUNK, min((s + 1) * CHUNK, n)
         m = hi - lo
@@ -259,6 +299,7 @@ def encode_scene(model: Model, cfg: GSConfig, path: str) -> dict:
         bit_feat += len(data_f) * 8
         bit_scaling += len(data_s) * 8
         bit_offsets += len(data_o) * 8
+    rans_s = time.time() - t_rans
 
     # hash tables: Bernoulli
     hash_flat = np.asarray(all_grid_params_flat(model.grid)).ravel()
@@ -292,6 +333,9 @@ def encode_scene(model: Model, cfg: GSConfig, path: str) -> dict:
         'masks_MB': bit_masks / BIT2MB,
         'MLPs_MB': heads_lib.mlp_param_bits(model.heads) / BIT2MB,
         'encode_time_s': time.time() - t1,
+        'context_s': round(context_s, 3),
+        'quantize_s': round(quantize_s, 3),
+        'rans_s': round(rans_s, 3),
         'n_anchors': int(n),
     }
     sizes['total_MB'] = sum(v for k, v in sizes.items()
@@ -299,7 +343,8 @@ def encode_scene(model: Model, cfg: GSConfig, path: str) -> dict:
     return sizes
 
 
-def decode_scene(model_shell: Model, cfg: GSConfig, path: str) -> Model:
+def decode_scene(model_shell: Model, cfg: GSConfig, path: str,
+                 timings: dict | None = None) -> Model:
     """conduct_decoding equivalent (gaussian_model.py:1233-1377).
 
     ``model_shell`` provides the MLP heads + hash grids (from the MLP
@@ -307,6 +352,9 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str) -> Model:
     returned Model's state stores decoded values re-expressed so the
     standard activations reproduce them (log of decoded scaling, +-10
     mask logits); use mode='decoded' renders for bit-faithful eval.
+
+    ``timings`` (optional dict) is filled with the per-phase wall split
+    {'context_s', 'rans_s'}.
     """
     with open(os.path.join(path, 'meta.json')) as f:
         meta = json.load(f)
@@ -337,6 +385,7 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str) -> Model:
 
     # context params batched exactly like the encode side (same MEGACHUNK
     # dispatch shapes -> bit-identical MLP floats -> same entropy model)
+    t_ctx = time.time()
     (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
      q_f, q_s, q_o) = _context_params_np(model, anchors, cfg)
     scale_f = np.clip(scale_f, 1e-9, None)
@@ -354,7 +403,10 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str) -> Model:
                 "decoding on a different backend/XLA version than encode "
                 "(the context MLP floats are only backend-deterministic), "
                 "or corrupted checkpoint/hash-grid tables.")
+    if timings is not None:
+        timings['context_s'] = round(time.time() - t_ctx, 3)
 
+    t_rans = time.time()
     feat = np.zeros((n, F), np.float32)
     scaling = np.zeros((n, 6), np.float32)
     offsets = np.zeros((n, K, 3), np.float32)
@@ -381,6 +433,8 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str) -> Model:
                     f.read(), mean_o[lo:hi].ravel()[mask3],
                     scale_o[lo:hi].ravel()[mask3], qo[mask3])
         offsets[lo:hi] = off_flat.reshape(m, K, 3)
+    if timings is not None:
+        timings['rans_s'] = round(time.time() - t_rans, 3)
 
     state = AnchorState(
         anchor=jnp.asarray(anchors, jnp.float32),

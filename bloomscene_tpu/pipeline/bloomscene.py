@@ -199,8 +199,10 @@ class BloomScene:
         est = estimate_final_bits(self.model, self.cfg)
         sizes = encode_scene(self.model, self.cfg, path)
         t0 = time.time()
-        decoded = decode_scene(self.model, self.cfg, path)
+        dec_t: dict = {}
+        decoded = decode_scene(self.model, self.cfg, path, timings=dec_t)
         sizes['decode_time_s'] = time.time() - t0
+        sizes['decode_split'] = dec_t
         sizes['estimated'] = est
         self.decoded_model = decoded
         with open(os.path.join(self.save_dir, 'codec_sizes.json'),

@@ -107,6 +107,33 @@ def main():
                              for k, v in sizes.items()
                              if isinstance(v, (int, float)) and '_MB' in k}
     rec["codec_total_MB"] = round(float(sizes.get('total_MB', 0.0)), 3)
+    rec["codec_split"] = {
+        "encode_context_s": sizes.get('context_s'),
+        "encode_quantize_s": sizes.get('quantize_s'),
+        "encode_rans_s": sizes.get('rans_s'),
+        "decode_split": sizes.get('decode_split'),
+    }
+
+    # at-scale bit-exact re-encode check: encoding the decoded scene must
+    # reproduce every bitstream byte-for-byte (the unit-scale version
+    # lives in tests/test_codec.py; this runs it on the full scene)
+    from bloomscene_tpu.codec.codec import encode_scene as _enc
+    path1 = os.path.join(bs.save_dir, 'bitstreams')
+    path2 = os.path.join(bs.save_dir, 'bitstreams_reenc')
+    t0 = time.time()
+    _enc(bs.decoded_model, bs.cfg, path2)
+    mismatch = []
+    for fn in sorted(os.listdir(path1)):
+        if not fn.endswith('.b'):
+            continue
+        with open(os.path.join(path1, fn), 'rb') as f1, \
+                open(os.path.join(path2, fn), 'rb') as f2:
+            if f1.read() != f2.read():
+                mismatch.append(fn)
+    rec["reencode_bit_exact"] = not mismatch
+    rec["reencode_check_s"] = round(time.time() - t0, 1)
+    if mismatch:
+        rec["reencode_mismatch_files"] = mismatch[:10]
 
     bs.save_outputs()
     pk = 'rotate360'
