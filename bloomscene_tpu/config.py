@@ -29,6 +29,14 @@ class GSConfig:
     update_hierachy_factor: int = 4
     use_feat_bank: bool = False
     white_background: bool = False
+    # color decode: 'mlp' = view-conditioned MLP RGB (the reference
+    # pipeline's path, gaussian_renderer/__init__.py:180,257-258);
+    # 'sh' = the color head emits per-child SH coefficients from the
+    # view-independent anchor feature and ops.sh.eval_sh turns them into
+    # view-dependent RGB (the rasterizer-contract SH path the reference
+    # ships but never uses, forward.cu:20-72,243)
+    color_mode: str = 'mlp'
+    sh_degree: int = 1          # 0..3; only read when color_mode == 'sh'
 
     # --- schedule ---
     iterations: int = 2990

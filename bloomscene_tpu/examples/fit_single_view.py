@@ -52,6 +52,9 @@ def main():
     ap.add_argument('--device_loop', action='store_true',
                     help='train in scan chunks (one dispatch per chunk)')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--color_mode', type=str, default='mlp',
+                    choices=('mlp', 'sh'))
+    ap.add_argument('--sh_degree', type=int, default=1)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -67,7 +70,8 @@ def main():
                    max_splats_per_tile=2048,
                    start_stat=10, update_from=50, update_interval=100,
                    update_until=max(60, args.steps - 20),
-                   noise_from_step=10 ** 9, context_from_step=10 ** 9)
+                   noise_from_step=10 ** 9, context_from_step=10 ** 9,
+                   color_mode=args.color_mode, sh_degree=args.sh_degree)
 
     model, voxel_size = init_model(jax.random.PRNGKey(args.seed), pts, cfg)
     views = [(cam.device_arrays(), jnp.asarray(img), jnp.asarray(depth))]

@@ -26,6 +26,7 @@ from ..config import GSConfig
 from ..ops.entropy import entropy_gaussian_bits
 from ..ops.quantization import ste_multistep
 from ..ops.graphics import normalize_quat
+from ..ops.sh import eval_sh, num_sh_coeffs
 from . import heads as heads_lib
 from .anchors import (get_anchor_quantized, get_mask, get_mask_anchor,
                       get_scaling)
@@ -200,7 +201,6 @@ def decode_neural_gaussians(model: Model, cam_center: jnp.ndarray,
                    & jnp.repeat(visible, K))
     opacity = jnp.where(child_valid, neural_opacity, 0.0)
 
-    color = heads_lib.apply_color(model.heads, cat_view).reshape(-1, 3)
     scale_rot = heads_lib.apply_cov(model.heads, cat_view).reshape(-1, 7)
 
     scaling6 = jnp.repeat(grid_scaling, K, axis=0)              # [C*K, 6]
@@ -210,6 +210,18 @@ def decode_neural_gaussians(model: Model, cam_center: jnp.ndarray,
     scaling = scaling6[:, 3:] * jax.nn.sigmoid(scale_rot[:, :3])
     rot = normalize_quat(scale_rot[:, 3:7])
     xyz = anchors_rep + offsets * scaling6[:, :3]
+
+    if cfg.color_mode == 'sh':
+        # per-child SH coefficients from the view-independent feature;
+        # eval_sh supplies view dependence (and gradients to BOTH the
+        # coefficients and xyz through the normalized direction — the
+        # full reference contract, backward.cu:20-142)
+        m = num_sh_coeffs(cfg.sh_degree)
+        coeffs = heads_lib.apply_color_sh(model.heads, feat).reshape(
+            -1, m, 3)                                           # [C*K, M, 3]
+        color = eval_sh(cfg.sh_degree, coeffs, xyz, cam_center)
+    else:
+        color = heads_lib.apply_color(model.heads, cat_view).reshape(-1, 3)
 
     dec = DecodedGaussians(xyz=xyz, color=color, opacity=opacity,
                            scaling=scaling, rotation=rot,

@@ -43,12 +43,25 @@ def mlp_apply(params, x, final_act=None):
 
 
 def init_heads(key, feat_dim: int, n_offsets: int, ctx_dim: int,
-               use_feat_bank: bool = False) -> Dict:
+               use_feat_bank: bool = False, color_mode: str = 'mlp',
+               sh_degree: int = 1) -> Dict:
+    if color_mode not in ('mlp', 'sh'):
+        raise ValueError(f"color_mode must be 'mlp' or 'sh', "
+                         f"got {color_mode!r}")
     ks = jax.random.split(key, 6)
+    if color_mode == 'sh':
+        # per-child SH coefficients from the VIEW-INDEPENDENT anchor
+        # feature: view dependence comes exclusively from the SH basis
+        # (ops/sh.py; reference contract forward.cu:20-72), not from a
+        # view-conditioned MLP input
+        m = (sh_degree + 1) ** 2
+        color = init_mlp(ks[2], (feat_dim, feat_dim, 3 * m * n_offsets))
+    else:
+        color = init_mlp(ks[2], (feat_dim + 4, feat_dim, 3 * n_offsets))
     heads = {
         'opacity': init_mlp(ks[0], (feat_dim + 4, feat_dim, n_offsets)),
         'cov': init_mlp(ks[1], (feat_dim + 4, feat_dim, 7 * n_offsets)),
-        'color': init_mlp(ks[2], (feat_dim + 4, feat_dim, 3 * n_offsets)),
+        'color': color,
         'grid': init_mlp(ks[3], (ctx_dim, feat_dim * 2,
                                  (feat_dim + 6 + 3 * n_offsets) * 2 + 3)),
         'deform': init_mlp(ks[4], (ctx_dim, feat_dim * 2, 2 * n_offsets)),
@@ -71,6 +84,12 @@ def apply_cov(heads, x):
 
 def apply_color(heads, x):
     return mlp_apply(heads['color'], x, jax.nn.sigmoid)
+
+
+def apply_color_sh(heads, feat):
+    """Raw per-child SH coefficients [C, 3*M*K] (no activation — eval_sh
+    applies the reference's +0.5 offset and >=0 clamp, forward.cu:63-70)."""
+    return mlp_apply(heads['color'], feat)
 
 
 def apply_grid(heads, x):

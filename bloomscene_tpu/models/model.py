@@ -48,7 +48,9 @@ def init_model(key, points: np.ndarray, cfg: GSConfig,
     model = Model(
         state=state,
         heads=heads_lib.init_heads(k_heads, cfg.feat_dim, cfg.n_offsets,
-                                   spec.output_dim, cfg.use_feat_bank),
+                                   spec.output_dim, cfg.use_feat_bank,
+                                   color_mode=cfg.color_mode,
+                                   sh_degree=cfg.sh_degree),
         grid=hashgrid.init_mix_params(spec, k_grid),
         bounds=AnchorBounds.initial(),
     )

@@ -31,6 +31,20 @@ model whenever no pixel's transmittance crosses 1e-4 (the cutoff is a
 performance guard, not a visual feature; at 1e-4 the residual
 contribution is below 8-bit quantization anyway).
 
+Backward ring (the north-star "gradient exchange overlapped with the
+backward blend", BASELINE.json): `ring_render` is built entirely from
+reverse-differentiable primitives (`lax.scan` slice blends, a static
+`fori_loop` over hops, `lax.ppermute` whose transpose is the INVERSE
+permutation), so `jax.grad` derives the reverse schedule mechanically:
+cotangent accumulators travel the ring BACKWARDS, and at every reverse
+hop each device back-blends its resident depth slice into the passing
+cotangents — per-hop gradient traffic is O(pixels/D) on ICI neighbor
+links, interleaved hop-by-hop with the backward blend compute, and splat
+gradients never leave their resident device. Equality vs the golden
+rasterizer's gradients (mean2d/conic/colors/opac) is asserted on the
+8-device CPU mesh in tests/test_ring.py
+(test_ring_render_grads_match_reference).
+
 The production multi-device render path (`parallel/sharded.py`) keeps
 XLA-inserted all-gathers over the tile axis — measured fine at current
 scales; this module is the scaling story for splat counts that no longer

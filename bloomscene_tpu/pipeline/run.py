@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--packed_capacity', type=int, default=None,
                    help='post-cull sorted pair list size (default: '
                         'pair_capacity)')
+    p.add_argument('--color_mode', type=str, default='mlp',
+                   choices=('mlp', 'sh'),
+                   help='color decode: view-conditioned MLP RGB (mlp) or '
+                        'per-child SH coefficients + eval_sh (sh)')
+    p.add_argument('--sh_degree', type=int, default=1,
+                   help='SH degree 0-3 (color_mode=sh only)')
     p.add_argument('--load_dir', type=str, default='',
                    help='cold-start: skip generation/training and re-render '
                         'a previously saved run from its checkpoint.npz + '
@@ -169,7 +175,9 @@ def main(argv=None):
         log2_hashmap_size_3d=args.log2,
         log2_hashmap_size_2d=args.log2_2D,
         device_loop=args.device_loop,
-        device_loop_chunk=args.device_loop_chunk)
+        device_loop_chunk=args.device_loop_chunk,
+        color_mode=args.color_mode,
+        sh_degree=args.sh_degree)
     cam = CameraConfig(H=args.resolution, W=args.resolution,
                        focal=(582.69 * args.resolution / 512,) * 2)
 

@@ -67,3 +67,51 @@ def test_ring_render_rejects_indivisible():
     with pytest.raises(ValueError):
         ring_render(proj, jnp.asarray(colors), jnp.asarray(opac),
                     jnp.zeros(3), W, H, mesh)
+
+
+@pytest.mark.parametrize("n,seed", [(64, 0), (128, 3)])
+def test_ring_render_grads_match_reference(n, seed):
+    """BACKWARD ring exchange (VERDICT r4 item 4a): autodiff through the
+    ring derives the reverse schedule — grad accumulators ppermute the
+    ring backwards while each device back-blends its resident depth
+    slice — and the resulting splat gradients must equal the golden
+    rasterizer's. Exactness precondition as in the forward test (no
+    early termination in the scene)."""
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "test expects the 8-device CPU mesh from conftest"
+    mesh = Mesh(np.array(jax.devices()), ('ring',))
+    W = H = 32
+    means, scales, quats, colors, opac = _scene(n, seed)
+    proj = _project(means, scales, quats, W, H)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    rng = np.random.default_rng(seed + 100)
+    tgt_c = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    tgt_d = jnp.asarray(rng.uniform(0, 5, (H, W)).astype(np.float32))
+
+    def loss_ring(mean2d, conic, col, op):
+        p = proj._replace(mean2d=mean2d, conic=conic)
+        c, d = ring_render(p, col, op, bg, W, H, mesh, axis='ring')
+        return jnp.mean((c - tgt_c) ** 2) + 0.3 * jnp.mean((d - tgt_d) ** 2)
+
+    def loss_ref(mean2d, conic, col, op):
+        p = proj._replace(mean2d=mean2d, conic=conic)
+        out = rasterize_reference(p, col, op, bg, W, H, tile=None)
+        return (jnp.mean((out.color - tgt_c) ** 2)
+                + 0.3 * jnp.mean((out.depth - tgt_d) ** 2))
+
+    args = (proj.mean2d, proj.conic, jnp.asarray(colors),
+            jnp.asarray(opac))
+    ref_val = loss_ref(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    ring_val = loss_ring(*args)
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2, 3))(*args)
+
+    np.testing.assert_allclose(float(ring_val), float(ref_val),
+                               rtol=1e-5, atol=1e-7)
+    names = ('mean2d', 'conic', 'colors', 'opac')
+    for nm, a, b in zip(names, g_ring, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), nm
+        scale = np.maximum(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a, b, atol=3e-5 * scale, rtol=2e-4,
+                                   err_msg=f"grad mismatch: {nm}")

@@ -185,3 +185,62 @@ def test_sh_colors_feed_rasterizer_with_mean_grads():
     assert np.isfinite(np.asarray(g_c)).all()
     assert float(jnp.sum(jnp.abs(g_c))) > 0
     assert float(jnp.sum(jnp.abs(g_m))) > 0
+
+
+def test_sh_product_path_degree1_beats_degree0():
+    """color_mode='sh' through the REAL training loop: on a fixture whose
+    color flips with viewpoint (red disc from the left view, blue from
+    the right), degree-1 SH must fit substantially tighter than degree-0
+    (a view-independent color can only average the two).
+    VERDICT r4 item 3: SH in the product path, not just the op."""
+    from bloomscene_tpu.config import GSConfig
+    from bloomscene_tpu.models.model import init_model
+    from bloomscene_tpu.train.loop import Trainer
+    from bloomscene_tpu.scene.cameras import camera_from_rt
+
+    def run(sh_degree):
+        cfg = GSConfig(voxel_size=0.08, max_splats_per_tile=2048,
+                       iterations=150, start_stat=10 ** 9,
+                       update_from=10 ** 9, noise_from_step=10 ** 9,
+                       context_from_step=10 ** 9,
+                       color_mode='sh', sh_degree=sh_degree)
+        rng = np.random.default_rng(0)
+        n = 600
+        th = rng.uniform(0, np.pi, n)
+        ph = rng.uniform(0, 2 * np.pi, n)
+        pts = np.stack([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                        np.cos(th)], -1).astype(np.float32) * 0.6
+        center = np.array([0, 0, 2.5], np.float32)
+        pts += center
+
+        W = H = 64
+        views = []
+        cam0 = None
+        for ang, col in ((-0.5, [0.9, 0.1, 0.1]), (0.5, [0.1, 0.1, 0.9])):
+            c, s = np.cos(ang), np.sin(ang)
+            R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+            # camera position orbiting the scene center at radius 2.5,
+            # always looking at it (3DGS convention: R is C2W rotation,
+            # T the W2C translation)
+            p = center - R @ np.array([0, 0, 2.5], np.float32)
+            t = -R.T @ p
+            cam = camera_from_rt(R, t, 1.0, 1.0, W, H)
+            if cam0 is None:
+                cam0 = cam
+            yy, xx = np.mgrid[0:H, 0:W]
+            img = np.zeros((H, W, 3), np.float32)
+            img[(xx - W // 2) ** 2 + (yy - H // 2) ** 2 < (W // 3) ** 2] = col
+            depth = np.full((H, W), 2.5, np.float32)
+            views.append((cam.device_arrays(), jnp.asarray(img),
+                          jnp.asarray(depth)))
+
+        model, vs = init_model(jax.random.PRNGKey(0), pts, cfg)
+        tr = Trainer(model, cfg, cam0.intrinsics, vs)
+        tr.run(views, log_every=50)
+        return float(np.mean([h['loss'] for h in tr.history[-2:]]))
+
+    loss0 = run(0)
+    loss1 = run(1)
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    # degree-1 must beat degree-0 clearly on the view-dependent fixture
+    assert loss1 < loss0 * 0.8, (loss0, loss1)
