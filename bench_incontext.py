@@ -1,10 +1,11 @@
-"""In-context A/B of gather formulations in ONE process (dev tool).
+"""In-context timer of the full fwd+bwd step in ONE process (dev tool).
 
 The relay TPU's throughput drifts run-to-run (shared pool), so
-cross-process comparisons are unreliable; this script traces a FRESH
-copy of the full fwd+bwd step per (ATTR_GATHER_MODE, GRAD_GATHER_MODE)
-combo and times them back-to-back, interleaving a baseline re-measure so
-drift is visible.
+cross-process comparisons are unreliable; this script compiles and times
+FRESH copies of the full step back-to-back in one process so code-change
+A/Bs are drift-visible. (Its original purpose — the gather-formulation
+A/B — is decided and recorded in GATHER_AB_r05.json; the losing modes
+were deleted from ops/tiles.py.)
 """
 import time
 import sys
@@ -13,7 +14,6 @@ import jax.numpy as jnp
 from jax import lax
 
 import bench_breakdown as bb
-from bloomscene_tpu.ops import tiles as tiles_lib
 
 
 def make_run8():
@@ -45,12 +45,6 @@ def measure(label):
 
 
 if __name__ == '__main__':
-    combos = [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0),
-              (0, 1), (0, 2), (0, 3), (0, 0)]
-    if len(sys.argv) > 1:
-        combos = [tuple(int(x) for x in c.split(','))
-                  for c in sys.argv[1:]]
-    for am, gm in combos:
-        tiles_lib.ATTR_GATHER_MODE = am
-        tiles_lib.GRAD_GATHER_MODE = gm
-        measure(f"attr_mode={am} grad_mode={gm}")
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    for i in range(reps):
+        measure(f"full_step rep {i}")

@@ -153,9 +153,7 @@ def _bwd(tile, gx, gy, W, H, cap, mesh, axis, saved, gout: RenderOutput):
     src = jnp.concatenate([
         grad.reshape(W_, cap * T_pos),
         jnp.zeros((W_, 128), jnp.float32)], axis=1)
-    from .. import tiles as _tiles
-    pgT = _tiles._gather_rows(src, jnp.minimum(src_lane, cap * T_pos),
-                              _tiles.GRAD_GATHER_MODE)
+    pgT = jnp.take(src, jnp.minimum(src_lane, cap * T_pos), axis=1)
     C = cumsum_lanes(pgT)                                   # inclusive
     Cx = C - pgT                                            # exclusive
     s_idx = jnp.minimum(starts_by_id, PC)

@@ -42,29 +42,13 @@ from jax import lax
 
 from .projection import ProjectedSplats
 
-# In-context formulation of the [10, packed_capacity] slab-attribute
-# gather (dev knob, see bench_incontext.py): 0 = plain take, 1 = take +
-# optimization_barrier, 2 = row-form take + barrier + transpose,
-# 3 = per-row 1D takes, 4 = padded-index gather (zero tail gathered
-# from an appended zero column; see _finish_bins).
-ATTR_GATHER_MODE = 0
-# Same knob for the gradient-reduction gather in ops/pallas/wrapper.py.
-GRAD_GATHER_MODE = 0
-
-
-def _gather_rows(table, idx, mode: int):
-    """table [R, N] -> [R, len(idx)] under the selected formulation."""
-    if mode == 2:
-        rows = jnp.take(table.T, idx, axis=0)            # [P, R]
-        (rows,) = lax.optimization_barrier((rows,))
-        return rows.T
-    if mode == 3:
-        return jnp.stack([jnp.take(table[i], idx)
-                          for i in range(table.shape[0])], 0)
-    out = jnp.take(table, idx, axis=1)
-    if mode == 1:
-        (out,) = lax.optimization_barrier((out,))
-    return out
+# Slab-attribute gather formulation: PADDED-INDEX (the zero tail is
+# gathered from one appended zero column instead of concatenated after).
+# Decision trail: GATHER_AB_r05.json — five attr formulations and four
+# grad-reduction formulations measured in-context on a v5e; padded-index
+# won by ~0.9 ms/step (12.74 vs 13.68) and the grad-reduction variants
+# were all within noise of the plain lane take, so the losers and their
+# knobs were deleted.
 
 
 class TileBins(NamedTuple):
@@ -609,22 +593,15 @@ def _finish_bins(pair_capacity, tile_capacity, packed_capacity, grad_index,
             # kernels index the middle slot dim; no transpose, no pad
             # rows. The zero tail keeps beyond-range slots exact zeros.
             from .pallas.expand import expand_slab
-            if ATTR_GATHER_MODE == 4:
-                # padded-index form: the zero tail is GATHERED from one
-                # appended zero column instead of concatenated after —
-                # one [PCp+cap]-index gather, no 8 MB concat copy
-                nsp = attr_rows.shape[1]
-                tab_z = jnp.pad(attr_rows, ((0, 0), (0, 1)))
-                idx_pad = jnp.concatenate(
-                    [gauss_s, jnp.full((tile_capacity,), nsp, jnp.int32)])
-                asT = jnp.take(tab_z, idx_pad, axis=1)    # [10, PCp+cap]
-            else:
-                attrs_sT = _gather_rows(attr_rows, gauss_s,
-                                        ATTR_GATHER_MODE)  # [10, PCp]
-                asT = jnp.concatenate(
-                    [attrs_sT,
-                     jnp.zeros((n_att, tile_capacity), jnp.float32)],
-                    axis=1)
+            # padded-index form: the zero tail is GATHERED from one
+            # appended zero column instead of concatenated after —
+            # one [PCp+cap]-index gather, no 8 MB concat copy
+            # (winning formulation; see the decision note atop this file)
+            nsp = attr_rows.shape[1]
+            tab_z = jnp.pad(attr_rows, ((0, 0), (0, 1)))
+            idx_pad = jnp.concatenate(
+                [gauss_s, jnp.full((tile_capacity,), nsp, jnp.int32)])
+            asT = jnp.take(tab_z, idx_pad, axis=1)        # [10, PCp+cap]
             slab = expand_slab(asT, t_start[perm], tile_capacity,
                                num_tiles)
 
