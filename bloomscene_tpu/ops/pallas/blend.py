@@ -42,7 +42,7 @@ from ..reference_rasterizer import (ACC_SEED, ALPHA_MAX, ALPHA_MIN,
 
 GROUP_TILES = 128    # tiles per program (lane dim; must be 128-multiple)
 CAP_CHUNK = 128      # splats streamed per grid step (VMEM budget bound)
-BWD_CAP_CHUNK = 64   # bounded by scoped VMEM: the unrolled pre-section
+BWD_CAP_CHUNK = 128   # bounded by scoped VMEM: the unrolled pre-section
                      # holds ~10 [P,GT] planes per splat (x4 unroll)
 BWD_UNROLL = 4
 INTERPRET = False    # set True to run kernels in interpreter mode (CPU)
@@ -357,25 +357,33 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
             alpha = jnp.minimum(ALPHA_MAX, oG)
             blended = (vld & (power <= 0.0) & (alpha >= ALPHA_MIN)
                        & (chunk * cc + j < ncon))
-            gdx = G * dx
-            gdy = G * dy
             # the reciprocal is hoisted off the serial recurrence (the
-            # VPU divide is the longest-latency op in the chain); bigger
-            # hoists (the five integrand factor planes) blow the scoped
-            # VMEM budget at x4 unroll and stay in the serial section.
+            # VPU divide is the longest-latency op in the chain). Only 4
+            # [P,GT] planes ride per unrolled splat (oG, blended, G,
+            # inv1ma): alpha is one min() from oG, and dx/dy/gdx/gdy are
+            # recomputed in the parallel section from the [1,GT] attr
+            # rows — each dropped plane buys scoped-VMEM headroom that
+            # funds the deeper unroll.
             inv1ma = 1.0 / (1.0 - alpha)
-            pre.append((alpha, oG, blended, op, de, cr, cg, cbl,
-                        ca, cb, ccn, dx, dy, G, gdx, gdy, inv1ma))
+            pre.append((oG, blended, op, de, cr, cg, cbl,
+                        ca, cb, ccn, mx, my, G, inv1ma))
 
         (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld) = carry
 
         def red(x):
             return jnp.sum(x, axis=0, keepdims=True)
 
+        # SERIAL section: only the recurrence (T, accumulated-behind
+        # planes, last-contributor planes) and the per-splat dL_da that
+        # closes over it — ~15 VPU ops per splat. dL_da and w are
+        # STASHED so the 10 gradient-plane reductions per splat (the
+        # bulk of the work) move to the parallel section below, off the
+        # loop-carried dependency chain.
+        dLs = []
         for u in reversed(range(U)):
-            (alpha, oG, blended, op, de, cr, cg, cbl,
-             ca, cb, ccn, dx, dy, G, gdx, gdy, inv1ma) = pre[u]
-            j = jbase + u
+            (oG, blended, op, de, cr, cg, cbl,
+             ca, cb, ccn, mx, my, G, inv1ma) = pre[u]
+            alpha = jnp.minimum(ALPHA_MAX, oG)
 
             T = jnp.where(blended, T * inv1ma, T)
             w = jnp.where(blended, alpha * T, 0.0)
@@ -391,11 +399,29 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
                      + (de - ar_d) * ud + (1.0 - ar_1) * uone)
             dL_da = dL_da * T + jnp.where(blended, tb * inv1ma, 0.0)
             dL_da = jnp.where(blended, dL_da, 0.0)
+            dLs.append((u, dL_da, w))
 
+            la = jnp.where(blended, alpha, la)
+            lr = jnp.where(blended, jnp.broadcast_to(cr, lr.shape), lr)
+            lg = jnp.where(blended, jnp.broadcast_to(cg, lg.shape), lg)
+            lb = jnp.where(blended, jnp.broadcast_to(cbl, lb.shape), lb)
+            ld = jnp.where(blended, jnp.broadcast_to(de, ld.shape), ld)
+
+        # PARALLEL section: gradient planes + reductions from the
+        # stashed (dL_da, w); no serial dependency, so the VPU pipelines
+        # across splats. dLs iterates in the SAME descending-u order as
+        # the serial loop, so a clamped duplicate row's grad_ref write
+        # (j >= cc when cc % U != 0) still lands before the real row's.
+        for u, dL_da, w in dLs:
+            (oG, blended, op, de, cr, cg, cbl,
+             ca, cb, ccn, mx, my, G, inv1ma) = pre[u]
+            dx = mx - px
+            dy = my - py
+            gdx = G * dx
+            gdy = G * dy
             unclamped = oG < ALPHA_MAX
             dG = jnp.where(unclamped, op, 0.0) * dL_da
-
-            jc = jnp.minimum(j, cc - 1)
+            jc = jnp.minimum(jbase + u, cc - 1)
             out = jnp.concatenate([
                 red(dG * (-gdx * ca - gdy * cb)),           # d mx
                 red(dG * (-gdy * ccn - gdx * cb)),          # d my
@@ -409,12 +435,6 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
                 red(w * ub),                                # d b
             ], axis=0)                                      # [GRAD_W, GT]
             grad_ref[:, jc, :] = out
-
-            la = jnp.where(blended, alpha, la)
-            lr = jnp.where(blended, jnp.broadcast_to(cr, lr.shape), lr)
-            lg = jnp.where(blended, jnp.broadcast_to(cg, lg.shape), lg)
-            lb = jnp.where(blended, jnp.broadcast_to(cbl, lb.shape), lb)
-            ld = jnp.where(blended, jnp.broadcast_to(de, ld.shape), ld)
         return (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld)
 
     init = (sT[...], sArR[...], sArG[...], sArB[...], sArD[...], sAr1[...],
