@@ -53,6 +53,42 @@ def prefilter_anchors(model: Model, intr: Intrinsics,
     return proj.valid & st.alive
 
 
+def count_pairs(model: Model, intr: Intrinsics, cam: CameraArrays,
+                cfg: GSConfig, *, mode: str = 'eval',
+                visible: jnp.ndarray | None = None,
+                visible_capacity: int | None = None) -> jnp.ndarray:
+    """Total splat-tile pair count (pre-cull upper bound) for one view.
+
+    Runs the same compaction + decode + projection head as render() and
+    sums the per-child touched-tile rectangle counts — the measuring
+    pass _render_model uses to size the eval binning buffers snugly.
+    """
+    from ..ops.tiles import compute_tile_rects
+    if (visible_capacity is not None and visible is not None
+            and model.state.capacity > visible_capacity):
+        st = model.state
+        C = st.capacity
+        visible_idx = jnp.nonzero(visible, size=visible_capacity,
+                                  fill_value=C)[0].astype(jnp.int32)
+        ok = visible_idx < C
+        safe = jnp.minimum(visible_idx, C - 1)
+        model = model._replace(state=st.gather_rows(safe,
+                                                    ok & st.alive[safe]))
+        visible = None
+    dec, _ = decode_neural_gaussians(model, cam.camera_center, cfg,
+                                     phase=0, mode=mode, visible=visible)
+    cov6 = projection.build_cov3d(dec.scaling, dec.rotation)
+    proj = projection.project_gaussians(
+        dec.xyz, cov6, cam.viewmat, cam.full_proj,
+        intr.width, intr.height, intr.focal_x, intr.focal_y,
+        intr.tan_fovx, intr.tan_fovy)
+    proj = proj._replace(valid=proj.valid & dec.valid)
+    opac_eff = jnp.where(proj.valid, dec.opacity, 0.0)
+    *_, touched = compute_tile_rects(proj, intr.width, intr.height,
+                                     cfg.tile_size, opacities=opac_eff)
+    return jnp.sum(touched)
+
+
 def render(model: Model, intr: Intrinsics, cam: CameraArrays,
            cfg: GSConfig, *, phase: int = 0, mode: str = 'train',
            key: jax.Array | None = None,
@@ -61,17 +97,27 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
            mean2d_offset: jnp.ndarray | None = None,
            tile_capacity: int | None = None,
            tile_sharding=None,
-           backend: str | None = None) -> RenderResult:
+           backend: str | None = None,
+           visible_capacity: int | None = None,
+           pair_capacity: int | None = None,
+           packed_capacity: int | None = None) -> RenderResult:
     """Render one view. ``mean2d_offset`` is a FLAT zeros [n_child*2]
     input whose gradient equals dL/dmean2d in pixel units — the functional
     analog of the reference's retain_grad screenspace_points
     (gaussian_renderer:224-229), used for densification statistics. (Flat
-    because a persistent [n_child, 2] buffer pads 64x under TPU tiling.)"""
+    because a persistent [n_child, 2] buffer pads 64x under TPU tiling.)
+
+    ``visible_capacity``/``pair_capacity``/``packed_capacity`` override
+    the cfg values — the eval render sizes them snugly from a measuring
+    pass over the orbit (pipeline._render_model) so binning work scales
+    with the actual scene rather than capacity-derived defaults."""
     if bg is None:
         bg = jnp.zeros(3)
     visible_idx = None
-    if (cfg.visible_capacity is not None and visible is not None
-            and model.state.capacity > cfg.visible_capacity):
+    if visible_capacity is None:
+        visible_capacity = cfg.visible_capacity
+    if (visible_capacity is not None and visible is not None
+            and model.state.capacity > visible_capacity):
         # visible-anchor compaction (the reference gathers by visible_mask
         # before decoding, gaussian_renderer/__init__.py:33-44): bound the
         # decoded set to a static bucket; grads scatter back to the full
@@ -79,7 +125,7 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
         # > bucket) are dropped for this step.
         st = model.state
         C = st.capacity
-        vcap = cfg.visible_capacity
+        vcap = visible_capacity
         visible_idx = jnp.nonzero(visible, size=vcap,
                                   fill_value=C)[0].astype(jnp.int32)
         ok = visible_idx < C
@@ -105,9 +151,9 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
     out, bins = rasterize_tiles(
         proj, dec.color, dec.opacity, bg,
         intr.width, intr.height, tile=cfg.tile_size,
-        pair_capacity=cfg.pair_capacity,
+        pair_capacity=pair_capacity or cfg.pair_capacity,
         tile_capacity=tile_capacity or cfg.max_splats_per_tile,
-        packed_capacity=cfg.packed_capacity,
+        packed_capacity=packed_capacity or cfg.packed_capacity,
         tile_sharding=tile_sharding, backend=backend)
     return RenderResult(out=out, dec=dec, rate=rate, proj=proj,
                         tile_overflow=bins.tile_overflow,
