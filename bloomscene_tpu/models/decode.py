@@ -60,9 +60,18 @@ def decode_neural_gaussians(model: Model, cam_center: jnp.ndarray,
                             cfg: GSConfig, *, phase: int,
                             mode: str = 'train',
                             visible: jnp.ndarray | None = None,
-                            key: jax.Array | None = None
+                            key: jax.Array | None = None,
+                            attr_means: tuple | None = None
                             ) -> tuple[DecodedGaussians, RateInfo]:
-    """mode in {'train', 'eval', 'decoded'}; phase in {0, 1, 2} (train)."""
+    """mode in {'train', 'eval', 'decoded'}; phase in {0, 1, 2} (train).
+
+    ``attr_means`` (feat_mean, scal_mean, off_mean) overrides the
+    quantization-centering means. The reference centers on the FULL
+    anchor set's means (gaussian_renderer:131-145 uses pc attributes
+    before visibility gathering); when render() compacts to the visible
+    bucket it computes the means from the full state and passes them
+    here so quantized eval renders are compaction-invariant.
+    """
     st = model.state
     C, K = st.capacity, st.n_offsets
     anchor = get_anchor_quantized(st, model.bounds)
@@ -126,11 +135,15 @@ def decode_neural_gaussians(model: Model, cam_center: jnp.ndarray,
         choose = ((jax.random.uniform(k4, (C,)) <= cfg.rate_subsample)
                   & (mask_anchor > 0) & visible)
         cw = choose.astype(jnp.float32)
-        feat_mean = _masked_mean(st.feat, alive[:, None].astype(jnp.float32))
-        scal_mean = _masked_mean(get_scaling(st),
-                                 alive[:, None].astype(jnp.float32))
-        off_mean = _masked_mean(st.offset,
-                                alive[:, None, None].astype(jnp.float32))
+        if attr_means is not None:
+            feat_mean, scal_mean, off_mean = attr_means
+        else:
+            feat_mean = _masked_mean(st.feat,
+                                     alive[:, None].astype(jnp.float32))
+            scal_mean = _masked_mean(get_scaling(st),
+                                     alive[:, None].astype(jnp.float32))
+            off_mean = _masked_mean(st.offset,
+                                    alive[:, None, None].astype(jnp.float32))
         bit_feat = entropy_gaussian_bits(feat, mean_f, scale_f, q_feat,
                                          feat_mean)             # [C, F]
         bit_scaling = entropy_gaussian_bits(grid_scaling, mean_s, scale_s,
@@ -160,11 +173,15 @@ def decode_neural_gaussians(model: Model, cam_center: jnp.ndarray,
             mask_anchor_rate=mask_anchor_rate)
 
     if mode == 'eval':
-        feat_mean = _masked_mean(st.feat, alive[:, None].astype(jnp.float32))
-        scal_mean = _masked_mean(get_scaling(st),
-                                 alive[:, None].astype(jnp.float32))
-        off_mean = _masked_mean(st.offset,
-                                alive[:, None, None].astype(jnp.float32))
+        if attr_means is not None:
+            feat_mean, scal_mean, off_mean = attr_means
+        else:
+            feat_mean = _masked_mean(st.feat,
+                                     alive[:, None].astype(jnp.float32))
+            scal_mean = _masked_mean(get_scaling(st),
+                                     alive[:, None].astype(jnp.float32))
+            off_mean = _masked_mean(st.offset,
+                                    alive[:, None, None].astype(jnp.float32))
         feat = jax.lax.stop_gradient(
             ste_multistep(feat, q_feat, feat_mean))
         grid_scaling = jax.lax.stop_gradient(

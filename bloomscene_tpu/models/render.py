@@ -116,6 +116,7 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
     visible_idx = None
     if visible_capacity is None:
         visible_capacity = cfg.visible_capacity
+    attr_means = None
     if (visible_capacity is not None and visible is not None
             and model.state.capacity > visible_capacity):
         # visible-anchor compaction (the reference gathers by visible_mask
@@ -126,6 +127,17 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
         st = model.state
         C = st.capacity
         vcap = visible_capacity
+        if mode == 'eval' or phase == 2:
+            # quantization-centering means come from the FULL state (the
+            # reference centers on pc-wide means before visibility
+            # gathering) so the render is compaction-invariant
+            from .decode import _masked_mean
+            from .anchors import get_scaling as _gs
+            aw = st.alive.astype(jnp.float32)
+            attr_means = (
+                _masked_mean(st.feat, aw[:, None]),
+                _masked_mean(_gs(st), aw[:, None]),
+                _masked_mean(st.offset, aw[:, None, None]))
         visible_idx = jnp.nonzero(visible, size=vcap,
                                   fill_value=C)[0].astype(jnp.int32)
         ok = visible_idx < C
@@ -138,7 +150,8 @@ def render(model: Model, intr: Intrinsics, cam: CameraArrays,
         visible = None           # the compacted set IS the visible set
     dec, rate = decode_neural_gaussians(model, cam.camera_center, cfg,
                                         phase=phase, mode=mode,
-                                        visible=visible, key=key)
+                                        visible=visible, key=key,
+                                        attr_means=attr_means)
     cov6 = projection.build_cov3d(dec.scaling, dec.rotation)
     proj = projection.project_gaussians(
         dec.xyz, cov6, cam.viewmat, cam.full_proj,

@@ -27,6 +27,10 @@ from ..priors import (DepthPrior, InpaintPrior, StubDepthPrior,
 from ..scene.dataset import SceneData, read_scene_data
 from ..train.loop import Trainer
 from ..utils import io as io_utils
+
+# Eval-render visible-compaction bucket granule (see _render_model).
+# Module-level so tests can shrink it to exercise compaction at toy scale.
+EVAL_VCAP_GRANULE = 8192
 from ..utils.depthviz import colorize
 from ..utils.metrics import evaluate_renders
 from . import pcdgen
@@ -258,7 +262,8 @@ class BloomScene:
 
         C = model.state.capacity
         mv = int(max_visible(model, stacked))
-        vcap = min(-(-max(mv, 256) // 8192) * 8192, C)
+        g = EVAL_VCAP_GRANULE
+        vcap = min(-(-max(mv, g // 32) // g) * g, C)
         eval_vcap = vcap if vcap < C else None
 
         # second measuring pass: the orbit's true max pair count sizes

@@ -206,3 +206,56 @@ def test_io_roundtrips(tmp_path):
     ck2 = io_utils.load_checkpoint(cp, ck)
     for a, b in zip(jax.tree.leaves(ck), jax.tree.leaves(ck2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_render_compaction_matches_dense(tmp_path, tiny_cam,
+                                              monkeypatch):
+    """_render_model's snug visible-compaction + measured pair-capacity
+    path must produce the same frames as the dense render through the
+    SAME chunked lax.map machinery (lax.map and a direct render() call
+    compile with different fusion/rewrites on CPU and differ by ~3e-3,
+    so the baseline must share the map; compaction itself is exact).
+    Also asserts render()-level invariance to snug pair capacities."""
+    import jax.numpy as jnp
+    from bloomscene_tpu.pipeline import bloomscene as bs_mod
+    from bloomscene_tpu.models.render import (count_pairs,
+                                              prefilter_anchors,
+                                              render as render_fn)
+
+    cfg = GSConfig(voxel_size=0.1, iterations=20, start_stat=5,
+                   update_from=10 ** 9, noise_from_step=10 ** 9,
+                   context_from_step=10 ** 9, max_splats_per_tile=2048)
+    rng = np.random.default_rng(5)
+    rgb = rng.uniform(0.2, 0.8, (64, 64, 3)).astype(np.float32)
+    bs = BloomScene(str(tmp_path / "out"), cfg=cfg, cam=tiny_cam,
+                    inpaint_prior=StubInpaintPrior(),
+                    depth_prior=StubDepthPrior(), seed=0)
+    bs.generate(rgb, "a colorful room", diff_steps=1, verbose=False)
+    bs.training(iterations=20, log_every=10)
+    cams = bs.scene.train_cameras[:3]
+
+    # compacted (tiny granule so the path engages at toy scale)
+    monkeypatch.setattr(bs_mod, 'EVAL_VCAP_GRANULE', 64)
+    got, _, _ = bs._render_model(bs.model, cams, mode='eval')
+    # dense baseline through the SAME machinery (granule > capacity
+    # disables compaction; pcap measuring still runs identically)
+    monkeypatch.setattr(bs_mod, 'EVAL_VCAP_GRANULE',
+                        int(bs.model.state.capacity) * 2)
+    want, _, _ = bs._render_model(bs.model, cams, mode='eval')
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=2e-5)
+
+    # render()-level: snug pair/packed capacities are value-invariant
+    intr = cams[0].intrinsics
+    arrs = cams[0].device_arrays()
+    vis = prefilter_anchors(bs.model, intr, arrs)
+    mp = int(count_pairs(bs.model, intr, arrs, cfg, mode='eval',
+                         visible=vis))
+    pcap = max(16384, -(-int(mp * 1.02) // 16384) * 16384)
+    res_a = render_fn(bs.model, intr, arrs, cfg, phase=0, mode='eval',
+                      visible=vis)
+    res_b = render_fn(bs.model, intr, arrs, cfg, phase=0, mode='eval',
+                      visible=vis, pair_capacity=pcap,
+                      packed_capacity=pcap)
+    np.testing.assert_array_equal(np.asarray(res_a.out.color),
+                                  np.asarray(res_b.out.color))
