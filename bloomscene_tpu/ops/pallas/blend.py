@@ -188,6 +188,12 @@ def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
             alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
             ok_u = vld & (power <= 0.0) & (alpha >= ALPHA_MIN)
             pre.append((ok_u, alpha, de, cr, cg, cbl))
+        # SERIAL: only the T/done recurrence + per-splat weight; the
+        # color/depth/acc accumulations are deferred to the tree-summed
+        # parallel section below (they are linear in the stashed w's, so
+        # order does not matter and the VPU pipelines them off the
+        # loop-carried chain)
+        ws = []
         for u, (ok_u, alpha, de, cr, cg, cbl) in enumerate(pre):
             ok = ok_u & (done < 0.5)
             test_T = T * (1.0 - alpha)
@@ -195,13 +201,18 @@ def _fwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
             blend = ok & ~term
             done = jnp.where(term, 1.0, done)
             w = jnp.where(blend, alpha * T, 0.0)
+            T = jnp.where(blend, test_T, T)
+            ncon = jnp.where(blend, c * cc + base + u + 1, ncon)
+            ws.append((w, de, cr, cg, cbl))
+        # PARALLEL: same left-to-right accumulation order as the rolled
+        # loop (bit-exact vs the XLA path), but on a dependency chain
+        # separate from T/done, so it pipelines behind the next block
+        for w, de, cr, cg, cbl in ws:
             Cr = Cr + w * cr
             Cg = Cg + w * cg
             Cb = Cb + w * cbl
             D = D + w * de
             acc = acc + w
-            T = jnp.where(blend, test_T, T)
-            ncon = jnp.where(blend, c * cc + base + u + 1, ncon)
         return (T, Cr, Cg, Cb, D, acc, done, ncon)
 
     init = (sT[...], sCr[...], sCg[...], sCb[...], sD[...], sAcc[...],

@@ -168,7 +168,15 @@ class BloomScene:
 
     # ---- stage 2: optimization ----
     def training(self, iterations: Optional[int] = None,
-                 log_every: int = 100, callback=None) -> Model:
+                 log_every: int = 100, callback=None,
+                 resume: bool = False,
+                 checkpoint_every: int = 0) -> Model:
+        """``resume=True`` restores a trainer checkpoint from
+        save_dir/train_ckpt if present (continuing at its step);
+        ``checkpoint_every=N`` saves one there every N iterations — a
+        relaunched process then loses at most N steps to a crash (the
+        axon relay can die mid-run; Trainer.run resumes from
+        self.step + 1, equality tested in tests/test_resume.py)."""
         assert self.scene is not None, "generate() (or load a scene) first"
         model, voxel_size = init_model(
             jax.random.PRNGKey(self.seed), self.scene.points, self.cfg)
@@ -187,6 +195,12 @@ class BloomScene:
         self.trainer = Trainer(model, self.cfg, cam0.intrinsics, voxel_size,
                                spatial_lr_scale=self.scene.radius,
                                seed=self.seed)
+        ckpt = os.path.join(self.save_dir, 'train_ckpt.npz')
+        if resume and os.path.exists(
+                os.path.splitext(ckpt)[0] + '.meta.json'):
+            self.trainer.restore(ckpt)
+            print(f"training: resumed from step {self.trainer.step}",
+                  flush=True)
         if callback is None:
             callback = lambda rec: print(
                 {k: (round(v, 4) if isinstance(v, float) else v)
@@ -195,6 +209,15 @@ class BloomScene:
                           'bit_per_param', 'n_visible_anchors',
                           'tile_overflow', 'pair_overflow',
                           'densify_n_alive')}, flush=True)
+        if checkpoint_every:
+            inner_cb = callback
+
+            def callback(rec):
+                inner_cb(rec)
+                it = int(rec.get('iteration', 0))
+                if it and it % checkpoint_every == 0:
+                    self.trainer.save(ckpt)
+
         self.model = self.trainer.run(views, iterations=iterations,
                                       log_every=log_every,
                                       callback=callback,

@@ -83,7 +83,8 @@ def main():
         print(logs[-1], flush=True)
 
     t0 = time.time()
-    bs.training(iterations=args.iterations, log_every=100, callback=cb)
+    bs.training(iterations=args.iterations, log_every=100, callback=cb,
+                resume=True, checkpoint_every=500)
     t_train = time.time() - t0
     rec["train_s"] = round(t_train, 1)
     rec["ms_per_step_incl_compile"] = round(

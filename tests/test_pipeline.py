@@ -259,3 +259,30 @@ def test_eval_render_compaction_matches_dense(tmp_path, tiny_cam,
                       packed_capacity=pcap)
     np.testing.assert_array_equal(np.asarray(res_a.out.color),
                                   np.asarray(res_b.out.color))
+
+
+def test_training_checkpoint_resume(tmp_path, tiny_cam):
+    """BloomScene.training(resume=True, checkpoint_every=N): a fresh
+    process restores the trainer checkpoint and continues from its step
+    (crash resilience for the full-scale TPU runs)."""
+    cfg = GSConfig(voxel_size=0.1, iterations=30, start_stat=5,
+                   update_from=10 ** 9, noise_from_step=10 ** 9,
+                   context_from_step=10 ** 9, max_splats_per_tile=2048)
+    rng = np.random.default_rng(7)
+    rgb = rng.uniform(0.2, 0.8, (64, 64, 3)).astype(np.float32)
+    bs = BloomScene(str(tmp_path / "out"), cfg=cfg, cam=tiny_cam,
+                    inpaint_prior=StubInpaintPrior(),
+                    depth_prior=StubDepthPrior(), seed=0)
+    bs.generate(rgb, "a room", diff_steps=1, verbose=False)
+    bs.training(iterations=20, log_every=10, checkpoint_every=10)
+    assert os.path.exists(tmp_path / "out" / "train_ckpt.meta.json")
+
+    # "crashed" process: rebuild from disk, resume to 30
+    bs2 = BloomScene(str(tmp_path / "out"), cfg=cfg, cam=tiny_cam,
+                     inpaint_prior=StubInpaintPrior(),
+                     depth_prior=StubDepthPrior(), seed=0)
+    bs2.generate(rgb, "a room", diff_steps=1, verbose=False)  # cache hit
+    bs2.training(iterations=30, log_every=10, resume=True)
+    assert bs2.trainer.step == 30
+    # resumed from 20, not retrained from scratch
+    assert bs2.trainer.history[0]['iteration'] > 20
