@@ -98,6 +98,26 @@ def make_variant(upto, grad_index=True):
                                       tid=perm)
         if upto == 'bwd':
             return consume(gr, *gi)
+        if upto == 'gred':
+            # per-Gaussian grad reduction exactly as wrapper._bwd:
+            # emission-order gather + MXU cumsum + boundary diff
+            W_ = pb.GRAD_W
+            cap, T_pos = gr.shape[1], gr.shape[2]
+            PC = bins.src_lane.shape[0]
+            flat = gr.reshape(W_, cap * T_pos)
+            dead = bins.src_lane >= cap * T_pos
+            pgT = jnp.take(flat, jnp.minimum(bins.src_lane,
+                                             cap * T_pos - 1), axis=1)
+            pgT = jnp.where(dead[None, :], 0.0, pgT)
+            C = tiles_lib.cumsum_lanes(pgT)
+            Cx = C - pgT
+            s_idx = jnp.minimum(bins.starts_by_id, PC)
+            e_idx = jnp.minimum(bins.ends_by_id, PC)
+            sums_T = jnp.where(
+                (e_idx > s_idx)[None, :],
+                jnp.take(C, jnp.maximum(e_idx - 1, 0), axis=1)
+                - jnp.take(Cx, jnp.minimum(s_idx, PC - 1), axis=1), 0.0)
+            return consume(sums_T, *gi)
         raise ValueError(upto)
 
     @jax.jit

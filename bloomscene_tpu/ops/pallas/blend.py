@@ -310,7 +310,7 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
                 tf_ref, ncon_ref,
                 ur_ref, ug_ref, ub_ref, ud_ref, uone_ref, bgterm_ref,
                 grad_ref,
-                sT, sArR, sArG, sArB, sArD, sAr1, sLa, sLr, sLg, sLb, sLd):
+                sT, sSr, sSg, sSb, sSd, sS1):
     gt = tf_ref.shape[1]
     P = tile * tile
     g = pl.program_id(0)
@@ -322,7 +322,7 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
     @pl.when(c == 0)
     def _():
         sT[...] = tf_ref[...]
-        for ref in (sArR, sArG, sArB, sArD, sAr1, sLa, sLr, sLg, sLb, sLd):
+        for ref in (sSr, sSg, sSb, sSd, sS1):
             ref[...] = jnp.zeros((P, gt), jnp.float32)
 
     ncon = ncon_ref[...]
@@ -379,17 +379,22 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
             pre.append((oG, blended, op, de, cr, cg, cbl,
                         ca, cb, ccn, mx, my, G, inv1ma))
 
-        (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld) = carry
+        (T, Sr, Sg, Sb, Sd, S1) = carry
 
         def red(x):
             return jnp.sum(x, axis=0, keepdims=True)
 
-        # SERIAL section: only the recurrence (T, accumulated-behind
-        # planes, last-contributor planes) and the per-splat dL_da that
-        # closes over it — ~15 VPU ops per splat. dL_da and w are
-        # STASHED so the 10 gradient-plane reductions per splat (the
-        # bulk of the work) move to the parallel section below, off the
-        # loop-carried dependency chain.
+        # SERIAL section: only the T recurrence, the strictly-behind
+        # SUFFIX weighted sums S_c = sum_{k behind} c_k * w_k, and the
+        # per-splat dL_da that closes over them. The CUDA form keeps a
+        # weighted-average accum_rec + last-contributor planes (10
+        # carries, ~30 ops/splat); algebraically
+        # T_i*(c_i - accum_rec_i) == T_i*c_i - S_i/(1-alpha_i), so the
+        # suffix form needs 5 carries and ~half the ops — same grads up
+        # to f32 rounding (backward.cu:477-585 semantics preserved).
+        # dL_da and w are STASHED so the 10 gradient reductions per
+        # splat move to the parallel section below, off the loop-carried
+        # chain.
         dLs = []
         for u in reversed(range(U)):
             (oG, blended, op, de, cr, cg, cbl,
@@ -399,70 +404,70 @@ def _bwd_kernel(tile, gx, cc, gmax_ref, data_ref, counts_ref, tid_ref,
             T = jnp.where(blended, T * inv1ma, T)
             w = jnp.where(blended, alpha * T, 0.0)
 
-            ar_r = jnp.where(blended, la * lr + (1 - la) * ar_r, ar_r)
-            ar_g = jnp.where(blended, la * lg + (1 - la) * ar_g, ar_g)
-            ar_b = jnp.where(blended, la * lb + (1 - la) * ar_b, ar_b)
-            ar_d = jnp.where(blended, la * ld + (1 - la) * ar_d, ar_d)
-            ar_1 = jnp.where(blended, la + (1 - la) * ar_1, ar_1)
-
-            dL_da = ((cr - ar_r) * ur + (cg - ar_g) * ug
-                     + (cbl - ar_b) * ub
-                     + (de - ar_d) * ud + (1.0 - ar_1) * uone)
-            dL_da = dL_da * T + jnp.where(blended, tb * inv1ma, 0.0)
+            Q = (ur * Sr + ug * Sg + ub * Sb + ud * Sd + uone * S1)
+            dL_da = (T * (ur * cr + ug * cg + ub * cbl + ud * de + uone)
+                     + (tb - Q) * inv1ma)
             dL_da = jnp.where(blended, dL_da, 0.0)
             dLs.append((u, dL_da, w))
 
-            la = jnp.where(blended, alpha, la)
-            lr = jnp.where(blended, jnp.broadcast_to(cr, lr.shape), lr)
-            lg = jnp.where(blended, jnp.broadcast_to(cg, lg.shape), lg)
-            lb = jnp.where(blended, jnp.broadcast_to(cbl, lb.shape), lb)
-            ld = jnp.where(blended, jnp.broadcast_to(de, ld.shape), ld)
+            # w is already zero for non-blended splats: no where needed
+            Sr = Sr + w * cr
+            Sg = Sg + w * cg
+            Sb = Sb + w * cbl
+            Sd = Sd + w * de
+            S1 = S1 + w
 
-        # PARALLEL section: gradient planes + reductions from the
-        # stashed (dL_da, w); no serial dependency, so the VPU pipelines
-        # across splats. dLs iterates in the SAME descending-u order as
-        # the serial loop, so a clamped duplicate row's grad_ref write
-        # (j >= cc when cc % U != 0) still lands before the real row's.
+        # PARALLEL section: gradient reductions from the stashed
+        # (dL_da, w); no serial dependency, so the VPU pipelines across
+        # splats. The per-tile attribute rows (op, ca, cb, ccn) are
+        # [1, GT] constants over a tile's pixels, so they FACTOR OUT of
+        # the sublane reductions: only six centered moment planes
+        # h*{1,dx,dy,dx2,dxdy,dy2} are built per splat (vs ten full
+        # gradient planes) and the [1, GT] row algebra after the
+        # reductions is ~free. dLs iterates in the SAME descending-u
+        # order as the serial loop, so a clamped duplicate row's
+        # grad_ref write (j >= cc when cc % U != 0) still lands before
+        # the real row's.
         for u, dL_da, w in dLs:
             (oG, blended, op, de, cr, cg, cbl,
              ca, cb, ccn, mx, my, G, inv1ma) = pre[u]
             dx = mx - px
             dy = my - py
-            gdx = G * dx
-            gdy = G * dy
-            unclamped = oG < ALPHA_MAX
-            dG = jnp.where(unclamped, op, 0.0) * dL_da
+            # h = where(unclamped, G, 0) * dL_da: the common factor of
+            # every conic/mean/opacity gradient (dG = op * h)
+            h = jnp.where(oG < ALPHA_MAX, G, 0.0) * dL_da
+            hdx = h * dx
+            hdy = h * dy
+            r0 = red(h)
+            r1 = red(hdx)
+            r2 = red(hdy)
+            r3 = red(hdx * dx)
+            r4 = red(hdx * dy)
+            r5 = red(hdy * dy)
             jc = jnp.minimum(jbase + u, cc - 1)
             out = jnp.concatenate([
-                red(dG * (-gdx * ca - gdy * cb)),           # d mx
-                red(dG * (-gdy * ccn - gdx * cb)),          # d my
-                red(-0.5 * gdx * dx * dG),                  # d ca
-                red(-gdx * dy * dG),                        # d cb
-                red(-0.5 * gdy * dy * dG),                  # d cc
-                red(jnp.where(unclamped, G, 0.0) * dL_da),  # d op
+                -op * (ca * r1 + cb * r2),                  # d mx
+                -op * (ccn * r2 + cb * r1),                 # d my
+                -0.5 * op * r3,                             # d ca
+                -op * r4,                                   # d cb
+                -0.5 * op * r5,                             # d cc
+                r0,                                         # d op
                 red(w * ud),                                # d depth
                 red(w * ur),                                # d r
                 red(w * ug),                                # d g
                 red(w * ub),                                # d b
             ], axis=0)                                      # [GRAD_W, GT]
             grad_ref[:, jc, :] = out
-        return (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld)
+        return (T, Sr, Sg, Sb, Sd, S1)
 
-    init = (sT[...], sArR[...], sArG[...], sArB[...], sArD[...], sAr1[...],
-            sLa[...], sLr[...], sLg[...], sLb[...], sLd[...])
-    (T, ar_r, ar_g, ar_b, ar_d, ar_1, la, lr, lg, lb, ld) = \
-        jax.lax.fori_loop(0, n_blocks, body, init)
+    init = (sT[...], sSr[...], sSg[...], sSb[...], sSd[...], sS1[...])
+    (T, Sr, Sg, Sb, Sd, S1) = jax.lax.fori_loop(0, n_blocks, body, init)
     sT[...] = T
-    sArR[...] = ar_r
-    sArG[...] = ar_g
-    sArB[...] = ar_b
-    sArD[...] = ar_d
-    sAr1[...] = ar_1
-    sLa[...] = la
-    sLr[...] = lr
-    sLg[...] = lg
-    sLb[...] = lb
-    sLd[...] = ld
+    sSr[...] = Sr
+    sSg[...] = Sg
+    sSb[...] = Sb
+    sSd[...] = Sd
+    sS1[...] = S1
 
 
 def blend_backward_pallas(splat_data, counts, tile: int, gx: int, gy: int,
@@ -529,7 +534,7 @@ def _blend_backward_local(tile: int, gx: int, gy: int, splat_data, counts,
         ],
         out_specs=[pl.BlockSpec((GRAD_W, cc, gt), rev,
                                 memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((P, gt), jnp.float32)] * 11,
+        scratch_shapes=[pltpu.VMEM((P, gt), jnp.float32)] * 6,
     )
     (grad,) = pl.pallas_call(
         functools.partial(_bwd_kernel, tile, gx, cc),

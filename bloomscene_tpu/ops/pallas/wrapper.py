@@ -148,12 +148,14 @@ def _bwd(tile, gx, gy, W, H, cap, mesh, axis, saved, gout: RenderOutput):
     T_pos = counts_p.shape[0]
     from ..tiles import cumsum_lanes
     PC = src_lane.shape[0]
-    # source rows: [10, cap*T + 128]; the trailing zero block is the
-    # dump lane for culled / truncated / over-capacity pairs
-    src = jnp.concatenate([
-        grad.reshape(W_, cap * T_pos),
-        jnp.zeros((W_, 128), jnp.float32)], axis=1)
-    pgT = jnp.take(src, jnp.minimum(src_lane, cap * T_pos), axis=1)
+    # culled / truncated / over-capacity pairs carry the sentinel lane
+    # cap*T; gather CLAMPED + mask instead of appending a zero dump
+    # block — the concat forced XLA to materialize a fresh 26 MB pad of
+    # the whole grad buffer (~0.9 ms/step at bench size)
+    flat = grad.reshape(W_, cap * T_pos)
+    dead = src_lane >= cap * T_pos
+    pgT = jnp.take(flat, jnp.minimum(src_lane, cap * T_pos - 1), axis=1)
+    pgT = jnp.where(dead[None, :], 0.0, pgT)
     C = cumsum_lanes(pgT)                                   # inclusive
     Cx = C - pgT                                            # exclusive
     s_idx = jnp.minimum(starts_by_id, PC)
@@ -163,12 +165,11 @@ def _bwd(tile, gx, gy, W, H, cap, mesh, axis, saved, gout: RenderOutput):
         jnp.take(C, jnp.maximum(e_idx - 1, 0), axis=1)
         - jnp.take(Cx, jnp.minimum(s_idx, PC - 1), axis=1),
         0.0)                                                # [10, n]
-    sums = sums_T.T
-    d_mean2d = sums[:, 0:2]
-    d_conic = sums[:, 2:5]
-    d_opac = sums[:, 5]
-    d_depth = sums[:, 6]
-    d_color = sums[:, 7:10]
+    d_mean2d = sums_T[0:2].T
+    d_conic = sums_T[2:5].T
+    d_opac = sums_T[5]
+    d_depth = sums_T[6]
+    d_color = sums_T[7:10].T
 
     d_bg = jnp.stack([jnp.sum(Tf * g_r), jnp.sum(Tf * g_g),
                       jnp.sum(Tf * g_b)])
