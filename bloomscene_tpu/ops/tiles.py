@@ -519,11 +519,15 @@ def _finish_bins(pair_capacity, tile_capacity, packed_capacity, grad_index,
         gauss_s = gauss_s[:packed_capacity]
         tile_s = tile_full[:packed_capacity].astype(jnp.int32)
         # tile ranges directly on the packed keys (keys of tile t live in
-        # [t << kbits, (t+1) << kbits))
-        t_start = jnp.searchsorted(key_s, tids << kbits,
-                                   side='left').astype(jnp.int32)
-        t_end = jnp.searchsorted(key_s, (tids + 1) << kbits,
-                                 side='left').astype(jnp.int32)
+        # [t << kbits, (t+1) << kbits)); ranges partition the sorted
+        # list, so t_end[t] == t_start[t+1] — ONE (T+1)-probe search
+        # instead of two T-probe ones (each is an ~18-step vectorized
+        # binary search over the packed keys, ~0.14 ms at bench size)
+        bounds = jnp.searchsorted(
+            key_s, jnp.arange(num_tiles + 1, dtype=jnp.int32) << kbits,
+            side='left').astype(jnp.int32)
+        t_start = bounds[:num_tiles]
+        t_end = bounds[1:]
     else:
         # (tile, emission slot) does not fit one 31-bit key (e.g. 1024
         # tiles x pair_capacity 2^21 at 512^2 with ~1M children): sort
@@ -534,12 +538,15 @@ def _finish_bins(pair_capacity, tile_capacity, packed_capacity, grad_index,
             (tile_id, k, gauss_o), num_keys=2, is_stable=False)
         tile_s = tile_full[:packed_capacity]
         gauss_s = gauss_sf[:packed_capacity]
-        # tile ranges: 1K binary searches over the sorted pair list
-        # (cheap; the scatter-min formulation serializes on collisions)
-        t_start = jnp.searchsorted(tile_s, tids,
-                                   side='left').astype(jnp.int32)
-        t_end = jnp.searchsorted(tile_s, tids,
-                                 side='right').astype(jnp.int32)
+        # tile ranges: binary searches over the sorted pair list (cheap;
+        # the scatter-min formulation serializes on collisions). For
+        # integer keys side='right' of t == side='left' of t+1, so one
+        # (T+1)-probe search yields both range arrays.
+        bounds = jnp.searchsorted(
+            tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+            side='left').astype(jnp.int32)
+        t_start = bounds[:num_tiles]
+        t_end = bounds[1:]
     if grad_index:
         # occupancy sort of the tile grid (the kernels want groups of
         # similar splat count; the blend wrapper consumes perm/pos)
