@@ -169,36 +169,49 @@ def _alive_arrays(model: Model, cfg: GSConfig):
 
 
 def estimate_final_bits(model: Model, cfg: GSConfig) -> dict:
-    """estimate_final_bits equivalent (gaussian_model.py:1016-1071)."""
+    """estimate_final_bits equivalent (gaussian_model.py:1016-1071).
+
+    Runs entirely on the host CPU backend (same reasoning and megachunk
+    dispatch as ``_context_params_np``): the one-shot whole-scene jit
+    this used to trace on the accelerator spent minutes COMPILING at
+    100K+ anchors through the TPU relay (RUN_r05 first measured it at
+    ~170 s of the codec wall), for an informational estimate whose
+    float-exactness is not load-bearing."""
     idx, arr = _alive_arrays(model, cfg)
     n = idx.size
     if n == 0:
         return {'total_MB': 0.0, 'n_anchors': 0,
                 'error': 'no alive anchors with non-empty masks'}
-    anchors = jnp.asarray(arr['anchor'])
+    cpu = _cpu_device()
     (mean_f, scale_f, mean_s, scale_s, mean_o, scale_o,
-     q_f, q_s, q_o) = _context_params(model, anchors, cfg)
+     q_f, q_s, q_o) = [
+        jax.device_put(jnp.asarray(a), cpu)
+        for a in _context_params_np(model, arr['anchor'], cfg)]
 
-    feat = ste_multistep(jnp.asarray(arr['feat']), q_f,
-                         jnp.asarray(arr['feat']).mean())
-    scaling = ste_multistep(jnp.asarray(arr['scaling']), q_s,
-                            jnp.asarray(arr['scaling']).mean())
-    offsets = ste_multistep(jnp.asarray(arr['offsets']), q_o[:, :, None],
-                            jnp.asarray(arr['offsets']).mean())
+    feat = _quantize_np(arr['feat'], np.asarray(q_f),
+                        float(arr['feat'].mean()))
+    scaling = _quantize_np(arr['scaling'], np.asarray(q_s),
+                           float(arr['scaling'].mean()))
+    offsets = _quantize_np(arr['offsets'], np.asarray(q_o)[:, :, None],
+                           float(arr['offsets'].mean()))
     offsets = offsets.reshape(n, -1)
 
+    def dput(x):
+        return jax.device_put(jnp.asarray(x, jnp.float32), cpu)
+
     bit_feat = jnp.sum(entropy_gaussian_bits(
-        feat, mean_f, scale_f, q_f, feat.mean()))
+        dput(feat), mean_f, scale_f, q_f, float(feat.mean())))
     bit_scaling = jnp.sum(entropy_gaussian_bits(
-        scaling, mean_s, scale_s, q_s, scaling.mean()))
+        dput(scaling), mean_s, scale_s, q_s, float(scaling.mean())))
     mask3 = np.repeat(arr['mask'][:, :, 0], 3, axis=-1)
     bit_offsets = jnp.sum(entropy_gaussian_bits(
-        offsets, mean_o, scale_o, q_o, offsets.mean()) * mask3)
+        dput(offsets), mean_o, scale_o, q_o,
+        float(offsets.mean())) * dput(mask3))
 
     hash_flat = np.asarray(all_grid_params_flat(model.grid))
     hash_bin = np.where(hash_flat >= 0, 1.0, -1.0)
-    _, bit_hash = binary_entropy_bits(jnp.asarray((hash_bin + 1) / 2))
-    _, bit_masks = binary_entropy_bits(jnp.asarray(arr['mask']))
+    _, bit_hash = binary_entropy_bits(dput((hash_bin + 1) / 2))
+    _, bit_masks = binary_entropy_bits(dput(arr['mask']))
     bit_anchor = n * 3 * ANCHOR_ROUND_DIGITS
     bit_mlp = heads_lib.mlp_param_bits(model.heads)
 
@@ -362,12 +375,15 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str,
     K, F = cfg.n_offsets, cfg.feat_dim
 
     # hash tables first (context depends on them)
+    t_hash = time.time()
     hash_flat = all_grid_params_flat(model_shell.grid)
     total_hash = hash_flat.size
     with open(os.path.join(path, 'hash.b'), 'rb') as f:
         hash_bin = rans.decode_binary(f.read(), meta['prob_hash'],
                                       total_hash)
     grid = _unflatten_grid(model_shell.grid, hash_bin.reshape(-1))
+    if timings is not None:
+        timings['hash_s'] = round(time.time() - t_hash, 3)
     bounds = AnchorBounds(
         x_min=jnp.asarray(np.array(meta['bounds_min'], np.float32)),
         x_max=jnp.asarray(np.array(meta['bounds_max'], np.float32)))
@@ -379,9 +395,12 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str,
     bmax = np.array(meta['bounds_max'], np.float32)
     anchors = _anchors_from_codes(codes, bmin, bmax)
 
+    t_masks = time.time()
     with open(os.path.join(path, 'masks.b'), 'rb') as f:
         masks = rans.decode_binary(f.read(), meta['prob_masks'], n * K,
                                    as_pm1=False).reshape(n, K, 1)
+    if timings is not None:
+        timings['masks_s'] = round(time.time() - t_masks, 3)
 
     # context params batched exactly like the encode side (same MEGACHUNK
     # dispatch shapes -> bit-identical MLP floats -> same entropy model)
@@ -436,6 +455,7 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str,
     if timings is not None:
         timings['rans_s'] = round(time.time() - t_rans, 3)
 
+    t_state = time.time()
     state = AnchorState(
         anchor=jnp.asarray(anchors, jnp.float32),
         offset=jnp.asarray(offsets),
@@ -447,6 +467,9 @@ def decode_scene(model_shell: Model, cfg: GSConfig, path: str,
         rotation=jnp.asarray(np.tile([1, 0, 0, 0], (n, 1)), jnp.float32),
         opacity_raw=jnp.zeros((n, 1), jnp.float32),
         alive=jnp.ones((n,), bool))
+    if timings is not None:
+        jax.block_until_ready(state.offset)
+        timings['state_s'] = round(time.time() - t_state, 3)
     return model._replace(state=state)
 
 
